@@ -1,0 +1,46 @@
+import os
+
+from cmtts_tpu.core.config import load_yaml_configs, config_from_dicts, load_configs
+
+
+def test_load_ljspeech_config():
+    cfg = load_configs("LJSpeech")
+    assert cfg.stft.sampling_rate == 22050
+    assert cfg.stft.hop_length == 256
+    assert cfg.model.transformer.encoder_hidden == 256
+    assert cfg.model.transformer.encoder_layer == 4
+    assert cfg.model.denoiser.residual_layers == 20
+    assert cfg.model.max_seq_len == 1000
+    assert not cfg.model.multi_speaker
+    assert cfg.train.cm.start_scales == 3
+    assert cfg.train.cm.loss_norm == "l1"
+    assert cfg.train.cm.schedule_sampler == "linear12"
+    assert cfg.train.cm.ema_rate == (0.999, 0.9999, 0.9999432189950708)
+    assert cfg.train.cm.start_ema == 0.95
+    assert cfg.train.cm.lr == 1e-4
+    assert cfg.pitch.pitch_type == "cwt"
+    assert cfg.train.loss.lambda_word_dur == 0.0
+
+
+def test_load_vctk_libritts_config():
+    vctk = load_configs("VCTK")
+    assert vctk.model.multi_speaker
+    assert vctk.model.external_speaker_dim == 512
+    assert vctk.model.max_seq_len == 1200
+    assert vctk.model.speaker_embedder == "DeepSpeaker"
+
+    lib = load_configs("LibriTTS")
+    assert lib.train.cm.start_scales == 4
+    assert lib.train.cm.schedule_sampler == "loss-second-moment"
+    assert not lib.pitch.use_uv
+    assert lib.train.total_step == 300000
+
+
+def test_stats_injection():
+    pre, model, train = load_yaml_configs("LJSpeech")
+    stats = {"energy": [-1.5, 6.0, 0.0, 1.0], "f0": [120.0, 35.0], "n_speakers": 4}
+    cfg = config_from_dicts(pre, model, train, stats)
+    assert cfg.energy.energy_min == -1.5
+    assert cfg.energy.energy_max == 6.0
+    assert cfg.pitch.f0_mean == 120.0
+    assert cfg.model.n_speakers == 4
