@@ -1,0 +1,133 @@
+"""Synthesis CLI (reference ``synthesize.py`` surface).
+
+Batch mode:  python cli/synthesize.py --mode batch --source val.txt
+                 --restore_step N --T 1 --dataset LJSpeech
+Single mode: python cli/synthesize.py --mode single --text "Hello world"
+                 --restore_step N --T 1 --dataset LJSpeech
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import re
+import sys
+from string import punctuation
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+
+
+def read_lexicon(lex_path: str) -> dict:
+    lexicon = {}
+    if not os.path.exists(lex_path):
+        return lexicon
+    with open(lex_path) as f:
+        for line in f:
+            temp = re.split(r"\s+", line.strip("\n"))
+            if not temp or not temp[0]:
+                continue
+            word, phones = temp[0], temp[1:]
+            lexicon.setdefault(word.lower(), phones)
+    return lexicon
+
+
+def preprocess_english(text: str, lexicon_path: str, cleaners) -> np.ndarray:
+    """Word -> phoneme lookup with {ARPAbet} formatting (reference
+    synthesize.py:168-192); g2p_en fallback is gated on availability,
+    OOV words otherwise become spelled-out characters."""
+    from cmtts_tpu.text import text_to_sequence
+
+    text = text.rstrip(punctuation)
+    lexicon = read_lexicon(lexicon_path)
+    try:
+        from g2p_en import G2p  # optional, not in this environment
+        g2p = G2p()
+    except Exception:
+        g2p = None
+
+    phones = []
+    for w in re.split(r"([,;.\-\?\!\s+])", text):
+        if w.lower() in lexicon:
+            phones += lexicon[w.lower()]
+        elif g2p is not None:
+            phones += [p for p in g2p(w) if p != " "]
+        elif w.strip() and w.strip() not in punctuation:
+            phones += ["spn"]  # unknown word marker
+    phones = "{" + "}{".join(phones) + "}"
+    phones = re.sub(r"\{[^\w\s]?\}", "{sp}", phones)
+    phones = phones.replace("}{", " ")
+    print(f"Phoneme sequence: {phones}")
+    return np.asarray(text_to_sequence(phones, cleaners), dtype=np.int32)
+
+
+def main():
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--restore_step", type=int, default=0)
+    parser.add_argument("--mode", type=str, choices=["batch", "single"],
+                        required=True)
+    parser.add_argument("--source", type=str, default=None,
+                        help="metadata file for batch mode")
+    parser.add_argument("--text", type=str, default=None)
+    parser.add_argument("--speaker_id", type=int, default=0)
+    parser.add_argument("--dataset", type=str, required=True)
+    parser.add_argument("--T", type=int, default=1, choices=[1, 2, 4])
+    parser.add_argument("--model", type=str, default="consistency_training")
+    parser.add_argument("--config_root", type=str, default=None)
+    parser.add_argument("--vocoder_ckpt", type=str, default=None,
+                        help="orbax dir or .npz of HiFi-GAN params")
+    parser.add_argument("--pitch_control", type=float, default=1.0)
+    parser.add_argument("--energy_control", type=float, default=1.0)
+    parser.add_argument("--duration_control", type=float, default=1.0)
+    parser.add_argument("--batch_size", type=int, default=8)
+    parser.add_argument("--teacher_forced", action="store_true")
+    args = parser.parse_args()
+
+    import jax
+
+    from cmtts_tpu.audio.wavio import write_wav
+    from cmtts_tpu.core.config import load_configs
+    from cmtts_tpu.data.dataset import TextMetaDataset
+    from cmtts_tpu.pipeline import Synthesizer
+    from cmtts_tpu.train.checkpoint import restore_checkpoint
+    from cmtts_tpu.models.hifigan import load_hifigan_params
+
+    cfg = load_configs(args.dataset, args.config_root)
+    payload = restore_checkpoint(cfg.train.ckpt_path, args.restore_step or None)
+    params = payload["model"]
+    voc_params = load_hifigan_params(args.vocoder_ckpt, cfg)
+
+    synth = Synthesizer(cfg, params, voc_params, T=args.T)
+    out_dir = os.path.join(cfg.train.result_path + "_cm",
+                           f"step_{args.restore_step}_T{args.T}")
+    os.makedirs(out_dir, exist_ok=True)
+
+    def run_batch(ids, tokens, speakers, spker_embeds):
+        mel, mel_lens, wav = synth(
+            tokens, speakers=speakers, spker_embeds=spker_embeds,
+            d_control=args.duration_control, p_control=args.pitch_control,
+            e_control=args.energy_control)
+        if wav is not None:
+            for i, (w, basename) in enumerate(zip(synth.trim_wavs(wav, mel_lens), ids)):
+                write_wav(os.path.join(out_dir, f"{basename}.wav"), w,
+                          cfg.stft.sampling_rate)
+        for i, basename in enumerate(ids):
+            np.save(os.path.join(out_dir, f"{basename}-mel.npy"),
+                    mel[i, : int(mel_lens[i])])
+        print(f"synthesized {len(ids)} -> {out_dir}")
+
+    if args.mode == "batch":
+        dataset = TextMetaDataset(args.source, cfg)
+        for batch in dataset.batches(args.batch_size):
+            run_batch(batch["ids"], batch["tokens"], batch["speakers"],
+                      batch["spker_embeds"])
+    else:
+        tokens = preprocess_english(
+            args.text, cfg.data.lexicon_path, list(cfg.data.text_cleaners))
+        run_batch(["single"], [tokens],
+                  np.asarray([args.speaker_id], np.int32), None)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,166 @@
+"""Consistency-model training CLI (reference ``train_cm.py`` surface).
+
+Usage:
+    python cli/train_cm.py --model consistency_training --dataset LJSpeech
+        [--restore_step N] [--total_step N] [--config_root PATH]
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+
+
+def main():
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--model", type=str, required=True,
+                        choices=["consistency_training", "consistency_distillation"])
+    parser.add_argument("--dataset", type=str, required=True)
+    parser.add_argument("--restore_step", type=int, default=0)
+    parser.add_argument("--path_tag", type=str, default="")
+    parser.add_argument("--config_root", type=str, default=None)
+    parser.add_argument("--total_step", type=int, default=None,
+                        help="override total training steps (smoke runs)")
+    parser.add_argument("--log_every", type=int, default=None)
+    args = parser.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+
+    from cmtts_tpu.core.config import load_configs
+    from cmtts_tpu.data.dataset import FeatureDataset, batch_iterator
+    from cmtts_tpu.models.cmtts import CMTTS
+    from cmtts_tpu.parallel.sharding import make_mesh, replicate_state, shard_batch
+    from cmtts_tpu.train import kvlogger
+    from cmtts_tpu.train.checkpoint import (
+        restore_checkpoint, save_checkpoint, state_from_payload)
+    from cmtts_tpu.train.ema import create_ema_and_scales_fn
+    from cmtts_tpu.train.loop import make_synthesize_step, make_train_step
+    from cmtts_tpu.train.resample import create_schedule_sampler
+    from cmtts_tpu.train.state import create_train_state, make_optimizer
+
+    cfg = load_configs(args.dataset, args.config_root)
+    cm = cfg.train.cm
+    if cm.training_mode != args.model:
+        import dataclasses
+        cfg = dataclasses.replace(cfg, train=dataclasses.replace(
+            cfg.train, cm=dataclasses.replace(cm, training_mode=args.model)))
+        cm = cfg.train.cm
+
+    total_step = args.total_step or cfg.train.total_step
+    log_step = args.log_every or cfg.train.log_step
+    save_step = cfg.train.save_step
+
+    tag = f"_{args.path_tag}" if args.path_tag else ""
+    log_dir = os.path.join(cfg.train.log_path + "_cm" + tag, "train")
+    logger = kvlogger.configure(log_dir)
+
+    print(f"==> CM-TTS-TPU training: {args.model} on {args.dataset}")
+    print(f"==> devices: {jax.devices()}")
+
+    dataset = FeatureDataset("train.txt", cfg, sort=True, drop_last=True)
+    print(f"==> dataset: {len(dataset)} utterances")
+
+    model = CMTTS(cfg)
+    ema_scale_fn = create_ema_and_scales_fn(
+        cm.target_ema_mode, cm.start_ema, cm.scale_mode, cm.start_scales,
+        cm.end_scales, cm.total_training_steps, cm.distill_steps_per_iter)
+    sampler = create_schedule_sampler(cm.schedule_sampler, cm.start_scales)
+    tx = make_optimizer(cm.lr, cm.weight_decay)
+
+    batches = batch_iterator(dataset, cfg.train.batch_size,
+                             cfg.train.group_size, seed=cm.seed)
+    first = next(batches)
+
+    rng = jax.random.PRNGKey(cm.seed)
+    step0 = args.restore_step
+    if step0 > 0:
+        payload = restore_checkpoint(cfg.train.ckpt_path, step0)
+        state = state_from_payload(payload, tx, len(cm.ema_rate))
+        if "sampler" in payload and hasattr(sampler, "load_state_dict"):
+            sampler.load_state_dict(payload["sampler"])
+        print(f"==> restored step {step0}")
+    else:
+        def to_j(b):
+            return {k: (jnp.asarray(v) if isinstance(v, np.ndarray) else
+                        ({kk: jnp.asarray(vv) for kk, vv in v.items()}
+                         if isinstance(v, dict) else v))
+                    for k, v in b.items() if k not in ("ids", "raw_texts")}
+        fb = to_j(first)
+        variables = model.init(
+            {"params": rng, "dropout": rng},
+            fb["mels"], jnp.zeros(fb["mels"].shape[0]),
+            speakers=fb["speakers"], texts=fb["texts"], src_lens=fb["src_lens"],
+            mel2ph=fb["mel2ph"], d_targets=fb["d_targets"],
+            p_targets=fb["p_targets"], e_targets=fb["e_targets"],
+            spker_embeds=fb.get("spker_embeds"),
+            deterministic=True)
+        state = create_train_state(variables["params"], tx, len(cm.ema_rate))
+        n_params = sum(int(np.prod(p.shape))
+                       for p in jax.tree_util.tree_leaves(variables["params"]))
+        print(f"==> params: {n_params/1e6:.1f}M")
+
+    mesh = make_mesh()
+    state = replicate_state(state, mesh)
+
+    _, num_scales = ema_scale_fn(step0)
+    train_step = make_train_step(model, cfg, tx, num_scales)
+    synth_step = make_synthesize_step(model, cfg)
+
+    step = step0 + 1
+    t_last = time.perf_counter()
+    for batch in batches:
+        target_ema, new_scales = ema_scale_fn(step)
+        if new_scales != num_scales:
+            num_scales = new_scales
+            train_step = make_train_step(model, cfg, tx, num_scales)
+            sampler = create_schedule_sampler(cm.schedule_sampler, num_scales)
+
+        clean = {k: v for k, v in batch.items() if k not in ("ids", "raw_texts")}
+        sharded = shard_batch(clean, mesh)
+        rng, sub = jax.random.split(rng)
+        probs = jnp.asarray(sampler.probs())
+        state, metrics = train_step(state, sharded, probs, sub,
+                                    jnp.asarray(target_ema))
+
+        if sampler.needs_update:
+            sampler.update(np.asarray(metrics["indices"]),
+                           np.asarray(metrics["loss_per_sample"]))
+
+        if step % log_step == 0:
+            m = {k: float(np.asarray(v)) for k, v in metrics.items()
+                 if np.ndim(v) == 0}
+            rng, sub = jax.random.split(rng)
+            _, mel_loss = synth_step(state.target_params, sharded, sub)
+            dt = time.perf_counter() - t_last
+            t_last = time.perf_counter()
+            logger.logkv("step", step)
+            logger.logkv("mel_loss_onestep", float(mel_loss))
+            logger.logkv("steps_per_sec", log_step / dt)
+            for k, v in m.items():
+                logger.logkv(k, v)
+            logger.dumpkvs()
+
+        if step % save_step == 0 or step >= total_step:
+            sampler_state = (sampler.state_dict()
+                             if hasattr(sampler, "state_dict") else None)
+            path = save_checkpoint(cfg.train.ckpt_path, state, sampler_state)
+            print(f"==> saved {path}")
+            if os.environ.get("DIFFUSION_TRAINING_TEST", ""):
+                print("==> DIFFUSION_TRAINING_TEST set; stopping after first save")
+                return
+
+        if step >= total_step:
+            print("==> training complete")
+            return
+        step += 1
+
+
+if __name__ == "__main__":
+    main()

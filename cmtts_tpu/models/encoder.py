@@ -39,6 +39,14 @@ def sinusoid_table(n_positions: int, dim: int) -> np.ndarray:
     return table.astype(np.float32)
 
 
+from functools import lru_cache
+
+
+@lru_cache(maxsize=16)
+def _cached_table(n_positions: int, dim: int) -> np.ndarray:
+    return sinusoid_table(n_positions, dim)
+
+
 def positions_from_mask(nonpad: jnp.ndarray) -> jnp.ndarray:
     """Position ids: cumulative count over valid steps, 0 at padding.
 
@@ -59,10 +67,8 @@ class PositionalEmbedding(nn.Module):
 
     @nn.compact
     def __call__(self, positions: jnp.ndarray) -> jnp.ndarray:
-        table = self.variable(
-            "constants", "table",
-            lambda: jnp.asarray(sinusoid_table(self.max_positions + 2, self.dim)),
-        ).value
+        # fixed (non-learned) table, embedded as an XLA constant
+        table = jnp.asarray(_cached_table(self.max_positions + 2, self.dim))
         emb = jnp.take(table, jnp.clip(positions, 0, self.max_positions + 1), axis=0)
         if self.learned_alpha:
             alpha = self.param("alpha", lambda k: jnp.ones((1,), jnp.float32))

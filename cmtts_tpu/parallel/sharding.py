@@ -1,0 +1,86 @@
+"""Data-parallel sharding over a JAX device mesh.
+
+TPU-native replacement for the reference's MPI + NCCL DDP substrate
+(``model/cm_tool/dist_util.py``, ``train_util.py:100-117``):
+
+- 1-D mesh over the 'data' axis (ICI);
+- batch arrays sharded on axis 0, train state replicated;
+- the gradient all-reduce is inserted by XLA when the jitted train step
+  consumes sharded batches and produces replicated grads — no DDP hooks,
+  no ``no_sync`` microbatch dance, no rank-0 param broadcast
+  (replicated-by-construction);
+- for multi-host pods, call :func:`initialize_distributed` first
+  (``jax.distributed.initialize`` over DCN).
+
+The model here is ~27M params with batch 32: pure DP saturates the chips
+— matching the reference's single parallelism strategy (SURVEY §2.8) —
+while the same helpers accept wider meshes for larger model variants
+(the batch axis simply spans all devices).
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def initialize_distributed(**kwargs) -> None:
+    """Multi-host bootstrap (replaces MPI rank setup, dist_util.py:22-43)."""
+    jax.distributed.initialize(**kwargs)
+
+
+def make_mesh(n_devices: int | None = None, axis: str = "data") -> Mesh:
+    devices = jax.devices()
+    if n_devices is not None:
+        devices = devices[:n_devices]
+    return Mesh(np.asarray(devices), (axis,))
+
+
+def data_sharding(mesh: Mesh, axis: str = "data") -> NamedSharding:
+    return NamedSharding(mesh, P(axis))
+
+
+def replicated(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())
+
+
+def shard_batch(batch: Any, mesh: Mesh, axis: str = "data") -> Any:
+    """Device-put a host batch pytree with axis-0 sharding.  Non-array
+    leaves (id/raw-text lists) pass through untouched."""
+    sharding = data_sharding(mesh, axis)
+
+    def put(x):
+        if isinstance(x, (np.ndarray, jax.Array)) and getattr(x, "ndim", 0) > 0:
+            return jax.device_put(x, sharding)
+        return x
+
+    return jax.tree_util.tree_map(put, batch)
+
+
+def replicate_state(state: Any, mesh: Mesh) -> Any:
+    """Replicate a train-state pytree across the mesh (the reference's
+    sync_params broadcast becomes a no-op by construction)."""
+    return jax.device_put(state, replicated(mesh))
+
+
+def pad_batch_to_multiple(batch: dict, multiple: int) -> tuple[dict, int]:
+    """Pad batch axis 0 up to a device-count multiple (repeating the last
+    sample); returns (batch, original_size)."""
+    sizes = [v.shape[0] for v in jax.tree_util.tree_leaves(batch)
+             if isinstance(v, np.ndarray) and v.ndim > 0]
+    B = sizes[0]
+    rem = B % multiple
+    if rem == 0:
+        return batch, B
+    pad_n = multiple - rem
+
+    def pad(x):
+        if isinstance(x, np.ndarray) and x.ndim > 0 and x.shape[0] == B:
+            reps = np.repeat(x[-1:], pad_n, axis=0)
+            return np.concatenate([x, reps], axis=0)
+        return x
+
+    return jax.tree_util.tree_map(pad, batch), B

@@ -1,0 +1,164 @@
+"""Fused text->mel->waveform inference pipeline.
+
+One jitted XLA graph per (batch, text-bucket, mel-bucket): conditioning
+network runs ONCE, the T<=4 consistency sampler drives only the bare
+denoiser, and HiFi-GAN vocodes the padded mel — fixing the reference's
+per-step cond-net re-execution and per-batch checkpoint reload
+(SURVEY §3.2 inefficiencies).  Buckets keep shapes static so the timed
+path never recompiles (BASELINE.md north-star: RTF <= 0.01 at T=1).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from cmtts_tpu.cm.karras import KarrasSchedule
+from cmtts_tpu.cm.sampling import default_ts, sample_mel
+from cmtts_tpu.core.config import Config
+from cmtts_tpu.core.masks import (
+    DEFAULT_MEL_BUCKETS,
+    DEFAULT_TEXT_BUCKETS,
+    pad_to,
+    pick_bucket,
+)
+from cmtts_tpu.models.cmtts import CMTTS
+from cmtts_tpu.models.hifigan import HiFiGANConfig, HiFiGANGenerator
+from cmtts_tpu.train.loop import schedule_from_config
+
+
+class Synthesizer:
+    """Bucket-compiled synthesis: call with host numpy token batches."""
+
+    def __init__(
+        self,
+        cfg: Config,
+        cm_params,
+        vocoder_params=None,
+        T: int = 1,
+        sampler: str | None = None,
+        text_buckets: Sequence[int] = DEFAULT_TEXT_BUCKETS,
+        mel_buckets: Sequence[int] = DEFAULT_MEL_BUCKETS,
+        compute_dtype=jnp.bfloat16,
+    ):
+        self.cfg = cfg
+        self.model = CMTTS(cfg)
+        self.hifigan = HiFiGANGenerator(HiFiGANConfig(
+            num_mels=cfg.stft.n_mel_channels,
+            sampling_rate=cfg.stft.sampling_rate))
+        self.cm_params = cm_params
+        self.vocoder_params = vocoder_params
+        self.T = T
+        if sampler is None:
+            sampler = "onestep" if T == 1 else "multistep"
+        self.sampler = sampler
+        self.sched = schedule_from_config(cfg)
+        self.text_buckets = tuple(text_buckets)
+        self.mel_buckets = tuple(mel_buckets)
+        self.compute_dtype = compute_dtype
+        self._jitted = {}
+
+    # -- jitted core -------------------------------------------------------
+    def _build(self, t_mel: int, vocode: bool):
+        sched = self.sched
+        model = self.model
+        hifigan = self.hifigan
+        sampler = self.sampler
+        T = self.T
+
+        @jax.jit
+        def run(cm_params, voc_params, speakers, texts, src_lens, spker_embeds,
+                rng, d_control, p_control, e_control):
+            cond_out = model.apply(
+                {"params": cm_params},
+                speakers=speakers, texts=texts, src_lens=src_lens,
+                t_mel=t_mel, spker_embeds=spker_embeds,
+                p_control=p_control, e_control=e_control, d_control=d_control,
+                deterministic=True,
+                method=CMTTS.condition)
+            cond = cond_out["cond"]
+            spk = cond_out["speaker_emb"]
+
+            def denoise(x_t, sigma):
+                c_skip, c_out, c_in = sched.active_scalings(sigma)
+                out = model.apply(
+                    {"params": cm_params},
+                    c_in[:, None, None] * x_t,
+                    sched.rescale_t(sigma),
+                    cond, spk,
+                    method=CMTTS.denoise)
+                return c_out[:, None, None] * out + c_skip[:, None, None] * x_t
+
+            B = texts.shape[0]
+            shape = (B, t_mel, model.cfg.stft.n_mel_channels)
+            mel = sample_mel(denoise, shape, rng, sched, sampler, T=T,
+                             ts=default_ts(T) if sampler == "multistep" else None)
+            mel_lens = cond_out["mel_lens"]
+            if vocode:
+                wav = hifigan.apply({"params": voc_params}, mel)
+            else:
+                wav = None
+            return mel, mel_lens, wav
+
+        return run
+
+    def _get(self, t_mel: int, vocode: bool):
+        key = (t_mel, vocode)
+        if key not in self._jitted:
+            self._jitted[key] = self._build(t_mel, vocode)
+        return self._jitted[key]
+
+    # -- host API ----------------------------------------------------------
+    def __call__(
+        self,
+        token_seqs: Sequence[np.ndarray],
+        speakers: np.ndarray | None = None,
+        spker_embeds: np.ndarray | None = None,
+        seed: int = 42,
+        d_control: float = 1.0,
+        p_control: float = 1.0,
+        e_control: float = 1.0,
+        mel_bucket: int | None = None,
+    ):
+        """Returns (mel (B,L,80) np, mel_lens np, wav np or None).
+
+        Token sequences are bucket-padded host-side; the mel bucket is
+        either given or estimated from text length (phonemes average
+        ~6 frames each at 22.05 kHz/256 hop; clamp to max_seq_len).
+        """
+        B = len(token_seqs)
+        max_txt = max(len(t) for t in token_seqs)
+        t_txt = pick_bucket(max_txt, self.text_buckets)
+        texts = np.stack([pad_to(np.asarray(t, np.int32), t_txt) for t in token_seqs])
+        src_lens = np.asarray([len(t) for t in token_seqs], np.int32)
+        if mel_bucket is None:
+            est = min(int(max_txt * 10), self.cfg.model.max_seq_len)
+            mel_bucket = pick_bucket(est, self.mel_buckets)
+        if speakers is None:
+            speakers = np.zeros(B, np.int32)
+        if spker_embeds is None and self.cfg.model.multi_speaker \
+                and self.cfg.model.speaker_embedder != "none":
+            raise ValueError("spker_embeds required for external-embedder models")
+        if spker_embeds is None:
+            spker_embeds = np.zeros((B, self.cfg.model.external_speaker_dim),
+                                    np.float32)
+
+        vocode = self.vocoder_params is not None
+        fn = self._get(mel_bucket, vocode)
+        mel, mel_lens, wav = fn(
+            self.cm_params, self.vocoder_params,
+            jnp.asarray(speakers), jnp.asarray(texts), jnp.asarray(src_lens),
+            jnp.asarray(spker_embeds), jax.random.PRNGKey(seed),
+            d_control, p_control, e_control)
+        return (np.asarray(mel), np.asarray(mel_lens),
+                None if wav is None else np.asarray(wav))
+
+    def trim_wavs(self, wav: np.ndarray, mel_lens: np.ndarray):
+        """Per-sample waveform trim to mel_len * hop (reference
+        utils/tools.py:594-607)."""
+        hop = self.cfg.stft.hop_length
+        return [w[: int(l) * hop] for w, l in zip(wav, mel_lens)]

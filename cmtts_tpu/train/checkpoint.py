@@ -1,0 +1,91 @@
+"""Orbax checkpointing with the reference's file-role structure.
+
+The reference writes per-step torch files: ``model{step:06d}.pt``,
+``ema_{rate}_{step:06d}.pt`` (x3), ``target_model{step:06d}.pt``,
+``opt{step:06d}.pt`` (``train_util.py:881-927``).  Here one Orbax step
+directory holds the same roles as named sub-trees; saves are rank-0-free
+(Orbax handles the single-writer/multihost coordination the reference
+did with dist.barrier + MPI broadcast).
+"""
+
+from __future__ import annotations
+
+import os
+import re
+from typing import Any
+
+import jax
+import numpy as np
+import orbax.checkpoint as ocp
+
+from cmtts_tpu.train.state import CMTrainState
+
+
+def _ckpt_dir(base: str) -> str:
+    return os.path.join(os.path.abspath(base), "CMDenoiserTTS")
+
+
+def save_checkpoint(base_path: str, state: CMTrainState,
+                    sampler_state: dict | None = None) -> str:
+    """Write one step directory containing all parameter roles."""
+    step = int(jax.device_get(state.step))
+    path = os.path.join(_ckpt_dir(base_path), f"step_{step:08d}")
+    payload = {
+        "step": step,
+        "model": jax.device_get(state.params),
+        "opt": jax.device_get(state.opt_state),
+        "target_model": jax.device_get(state.target_params),
+    }
+    for i, ema in enumerate(state.ema_params):
+        payload[f"ema_{i}"] = jax.device_get(ema)
+    if sampler_state:
+        payload["sampler"] = {k: np.asarray(v) for k, v in sampler_state.items()}
+    ckptr = ocp.StandardCheckpointer()
+    ckptr.save(path, payload, force=True)
+    ckptr.wait_until_finished()
+    return path
+
+
+def list_checkpoint_steps(base_path: str) -> list[int]:
+    d = _ckpt_dir(base_path)
+    if not os.path.isdir(d):
+        return []
+    steps = []
+    for name in os.listdir(d):
+        m = re.fullmatch(r"step_(\d+)", name)
+        if m:
+            steps.append(int(m.group(1)))
+    return sorted(steps)
+
+
+def restore_checkpoint(base_path: str, step: int | None = None,
+                       template: Any = None) -> dict:
+    """Restore a step dir (latest if step is None).  ``template`` is an
+    abstract payload matching save_checkpoint's structure; None restores
+    as raw pytrees."""
+    steps = list_checkpoint_steps(base_path)
+    if not steps:
+        raise FileNotFoundError(f"no checkpoints under {_ckpt_dir(base_path)}")
+    if step is None:
+        step = steps[-1]
+    elif step not in steps:
+        raise FileNotFoundError(f"step {step} not in {steps}")
+    path = os.path.join(_ckpt_dir(base_path), f"step_{step:08d}")
+    ckptr = ocp.StandardCheckpointer()
+    if template is not None:
+        return ckptr.restore(path, template)
+    return ckptr.restore(path)
+
+
+def state_from_payload(payload: dict, tx, n_ema: int) -> CMTrainState:
+    import jax.numpy as jnp
+
+    from cmtts_tpu.train.state import CMTrainState
+
+    return CMTrainState(
+        step=jnp.asarray(payload["step"], jnp.int32),
+        params=payload["model"],
+        opt_state=payload["opt"],
+        ema_params=tuple(payload[f"ema_{i}"] for i in range(n_ema)),
+        target_params=payload["target_model"],
+    )

@@ -8,7 +8,9 @@ data-parallel semantics without a TPU pod (reference
 import os
 import sys
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# Force CPU: the session environment pins JAX_PLATFORMS=axon (the real
+# TPU tunnel); tests must not grab the single shared chip.
+os.environ["JAX_PLATFORMS"] = "cpu"
 xla_flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in xla_flags:
     os.environ["XLA_FLAGS"] = (

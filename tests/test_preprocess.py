@@ -1,0 +1,131 @@
+"""End-to-end data pipeline: synthetic corpus -> preprocess -> dataset."""
+
+import json
+import os
+
+import numpy as np
+import pytest
+
+from cmtts_tpu.audio.wavio import write_wav
+from cmtts_tpu.core.config import load_yaml_configs, config_from_dicts
+from cmtts_tpu.data.preprocessor import Preprocessor
+from cmtts_tpu.data.textgrid import read_textgrid
+from cmtts_tpu.data.dataset import FeatureDataset, batch_iterator, collate_batch
+
+
+def _make_textgrid(path, phones_with_times):
+    xmax = phones_with_times[-1][1]
+    lines = [
+        'File type = "ooTextFile"', 'Object class = "TextGrid"', "",
+        "xmin = 0", f"xmax = {xmax}", "tiers? <exists>", "size = 1",
+        "item []:", "    item [1]:", '        class = "IntervalTier"',
+        '        name = "phones"', "        xmin = 0",
+        f"        xmax = {xmax}",
+        f"        intervals: size = {len(phones_with_times)}",
+    ]
+    for i, (s, e, p) in enumerate(phones_with_times):
+        lines += [f"        intervals [{i+1}]:", f"            xmin = {s}",
+                  f"            xmax = {e}", f'            text = "{p}"']
+    with open(path, "w") as f:
+        f.write("\n".join(lines))
+
+
+@pytest.fixture(scope="module")
+def mini_corpus(tmp_path_factory):
+    root = tmp_path_factory.mktemp("corpus")
+    raw = root / "raw" / "LJSpeech"
+    pre = root / "preprocessed"
+    raw.mkdir(parents=True)
+    (pre / "TextGrid" / "LJSpeech").mkdir(parents=True)
+
+    sr = 22050
+    rng = np.random.RandomState(0)
+    for i in range(3):
+        base = f"utt{i:03d}"
+        dur_s = 1.2
+        t = np.arange(int(sr * dur_s)) / sr
+        f0 = 150 + 30 * i
+        wav = 0.4 * np.sin(2 * np.pi * f0 * t) * (0.7 + 0.3 * np.sin(2 * np.pi * 2 * t))
+        wav += 0.01 * rng.randn(len(wav))
+        write_wav(str(raw / f"{base}.wav"), wav.astype(np.float32), sr)
+        with open(raw / f"{base}.lab", "w") as f:
+            f.write("hello world")
+        _make_textgrid(
+            str(pre / "TextGrid" / "LJSpeech" / f"{base}.TextGrid"),
+            [(0.0, 0.1, "sil"), (0.1, 0.5, "HH"), (0.5, 0.9, "AH0"),
+             (0.9, 1.1, "L"), (1.1, 1.2, "sp")])
+    return root, raw, pre
+
+
+@pytest.fixture(scope="module")
+def mini_config(mini_corpus):
+    root, raw, pre = mini_corpus
+    p, m, t = load_yaml_configs("LJSpeech")
+    p["path"]["raw_path"] = str(raw.parent)
+    p["path"]["preprocessed_path"] = str(pre)
+    p["preprocessing"]["val_size"] = 1
+    cfg = config_from_dicts(p, m, t)
+    return cfg
+
+
+def test_textgrid_parser(mini_corpus):
+    root, raw, pre = mini_corpus
+    tiers = read_textgrid(str(pre / "TextGrid" / "LJSpeech" / "utt000.TextGrid"))
+    assert "phones" in tiers
+    ivs = tiers["phones"].intervals
+    assert len(ivs) == 5
+    assert ivs[1].text == "HH"
+    assert ivs[1].start_time == pytest.approx(0.1)
+
+
+def test_preprocessor_end_to_end(mini_config):
+    cfg = mini_config
+    # raw path points at parent; preprocessor expects raw/<speaker>/
+    import dataclasses
+    cfg2 = dataclasses.replace(cfg, data=dataclasses.replace(
+        cfg.data, raw_path=cfg.data.raw_path))
+    pp = Preprocessor(cfg2, dataset_type="LJspeech")
+    train, val = pp.build_from_path()
+    assert len(train) == 2 and len(val) == 1
+
+    pre = cfg.data.preprocessed_path
+    stats = json.load(open(os.path.join(pre, "stats.json")))
+    assert stats["f0"][0] > 50  # tracked the sine f0
+    assert len(stats["spec_min"]) == 80
+    for kind in ("mel", "f0", "pitch", "energy", "duration", "mel2ph",
+                 "cwt_spec", "f0cwt_mean_std"):
+        files = os.listdir(os.path.join(pre, kind))
+        assert len(files) == 3, kind
+
+    # alignment invariants: len(mel) == sum(durations) == len(mel2ph)
+    mel = np.load(os.path.join(pre, "mel", "LJSpeech-mel-utt000.npy"))
+    dur = np.load(os.path.join(pre, "duration", "LJSpeech-duration-utt000.npy"))
+    m2p = np.load(os.path.join(pre, "mel2ph", "LJSpeech-mel2ph-utt000.npy"))
+    assert mel.shape[0] == dur.sum() == len(m2p)
+    assert mel.shape[1] == 80
+    # silences trimmed: 3 phones remain (HH AH0 L)
+    assert len(dur) == 3
+    assert m2p.max() == 3
+
+
+def test_feature_dataset_and_batching(mini_config):
+    cfg = mini_config
+    ds = FeatureDataset("train.txt", cfg, sort=True)
+    assert len(ds) == 2
+    sample = ds[0]
+    assert sample["mel"].shape[1] == 80
+    assert sample["text"].ndim == 1
+    assert "cwt_spec" in sample
+
+    batch = collate_batch([ds[0], ds[1]], cfg,
+                          text_buckets=(8,), mel_buckets=(128,))
+    assert batch["texts"].shape == (2, 8)
+    assert batch["mels"].shape == (2, 128, 80)
+    assert batch["p_targets"]["cwt_spec"].shape == (2, 128, 10)
+    assert batch["mel2ph"].shape == (2, 128)
+
+    it = batch_iterator(ds, batch_size=1, group_size=2, epochs=1,
+                        text_buckets=(8,), mel_buckets=(128,))
+    batches = list(it)
+    assert len(batches) == 2
+    assert batches[0]["texts"].shape[0] == 1

@@ -1,0 +1,157 @@
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from cmtts_tpu.models.cmtts import CMTTS
+from cmtts_tpu.train.ema import create_ema_and_scales_fn
+from cmtts_tpu.train.loop import make_train_step, make_synthesize_step
+from cmtts_tpu.train.resample import (
+    Linear12Sampler,
+    Linear21Sampler,
+    LossSecondMomentSampler,
+    UniformSampler,
+    create_schedule_sampler,
+)
+from cmtts_tpu.train.state import create_train_state, make_optimizer
+
+from helpers import tiny_batch, tiny_config
+
+
+def test_schedule_samplers():
+    s = create_schedule_sampler("linear12", 3)
+    assert isinstance(s, Linear12Sampler)
+    np.testing.assert_allclose(s.weights(), [1, 2])
+    np.testing.assert_allclose(s.probs(), [1 / 3, 2 / 3])
+
+    s = create_schedule_sampler("linear21", 4)
+    np.testing.assert_allclose(s.weights(), [3, 2, 1])
+
+    s = create_schedule_sampler("uniform", 4)
+    np.testing.assert_allclose(s.probs(), [1 / 3] * 3)
+
+
+def test_lsm_sampler_warmup_and_weights():
+    s = LossSecondMomentSampler(3, history_per_term=2)
+    # not warmed up: uniform
+    np.testing.assert_allclose(s.probs(), [0.5, 0.5])
+    s.update(np.array([0, 0]), np.array([1.0, 1.0]))
+    s.update(np.array([1, 1]), np.array([3.0, 3.0]))
+    assert s._warmed_up()
+    p = s.probs()
+    # index 1 has larger second moment -> higher probability
+    assert p[1] > p[0]
+    np.testing.assert_allclose(p.sum(), 1.0, rtol=1e-6)
+    # rolling history: old entries shift out
+    s.update(np.array([0]), np.array([100.0]))
+    assert s._history[0, -1] == 100.0
+
+
+def test_ema_and_scales_fn():
+    f = create_ema_and_scales_fn("fixed", 0.95, "fixed", 3, 200, 800000, 10)
+    assert f(0) == (0.95, 3)
+    assert f(500000) == (0.95, 3)
+    f2 = create_ema_and_scales_fn("fixed", 0.95, "progressive", 2, 150, 1000, 10)
+    ema0, s0 = f2(0)
+    ema1, s1 = f2(1000)
+    assert s1 > s0
+    assert ema0 == 0.95
+
+
+@pytest.fixture(scope="module")
+def train_setup():
+    cfg = tiny_config()
+    model = CMTTS(cfg)
+    batch_np = tiny_batch()
+    batch = {
+        k: (jnp.asarray(v) if isinstance(v, np.ndarray) else v)
+        for k, v in batch_np.items() if k != "p_targets" and v is not None
+    }
+    batch["p_targets"] = {k: jnp.asarray(v) for k, v in batch_np["p_targets"].items()}
+    rng = jax.random.PRNGKey(0)
+    variables = model.init(
+        {"params": rng, "dropout": rng},
+        batch["mels"], jnp.zeros(2),
+        speakers=batch["speakers"], texts=batch["texts"],
+        src_lens=batch["src_lens"], mel2ph=batch["mel2ph"],
+        d_targets=batch["d_targets"], p_targets=batch["p_targets"],
+        e_targets=batch["e_targets"], deterministic=True)
+    tx = make_optimizer(1e-4)
+    state = create_train_state(variables["params"], tx, n_ema=3)
+    return cfg, model, tx, state, batch
+
+
+def test_train_step_runs_and_updates(train_setup):
+    cfg, model, tx, state, batch = train_setup
+    step = make_train_step(model, cfg, tx, num_scales=3, donate=False)
+    sampler = create_schedule_sampler("linear12", 3)
+    probs = jnp.asarray(sampler.probs())
+    rng = jax.random.PRNGKey(42)
+
+    state2, metrics = step(state, batch, probs, rng, jnp.asarray(0.95))
+    assert int(state2.step) == 1
+    assert np.isfinite(float(metrics["loss"]))
+    assert np.isfinite(float(metrics["cm_loss"]))
+    assert metrics["indices"].shape == (2,)
+    assert (np.asarray(metrics["indices"]) < 2).all()
+    assert metrics["loss_per_sample"].shape == (2,)
+
+    # params changed, target moved toward new params with rate 0.95
+    # (use the output head: its zero init means gradients reach it first)
+    p0 = state.params["denoiser"]["out_proj"]["kernel"]
+    p1 = state2.params["denoiser"]["out_proj"]["kernel"]
+    assert np.abs(np.asarray(p1 - p0)).max() > 0
+    t1 = state2.target_params["denoiser"]["out_proj"]["kernel"]
+    expected = 0.95 * np.asarray(p0) + 0.05 * np.asarray(p1)
+    np.testing.assert_allclose(np.asarray(t1), expected, rtol=1e-5, atol=1e-7)
+
+    # EMA rates applied per snapshot
+    e0 = state2.ema_params[0]["denoiser"]["out_proj"]["kernel"]
+    expected_e = 0.999 * np.asarray(p0) + 0.001 * np.asarray(p1)
+    np.testing.assert_allclose(np.asarray(e0), expected_e, rtol=1e-5, atol=1e-7)
+
+
+def test_train_step_with_donation(train_setup):
+    """The production path donates the whole state (donate_argnums=(0,)).
+
+    XLA rejects the same buffer donated twice, so create_train_state must
+    produce REAL copies for ema/target — aliased pytrees fail at Execute()
+    with `INVALID_ARGUMENT: Attempt to donate the same buffer twice`."""
+    cfg, model, tx, state, batch = train_setup
+    # donation invalidates input buffers — don't eat the shared fixture's
+    params = jax.tree_util.tree_map(lambda x: jnp.array(x, copy=True),
+                                    state.params)
+    state = create_train_state(params, tx, n_ema=3)
+    step = make_train_step(model, cfg, tx, num_scales=3, donate=True)
+    probs = jnp.asarray(create_schedule_sampler("linear12", 3).probs())
+    state2, metrics = step(state, batch, probs, jax.random.PRNGKey(1),
+                           jnp.asarray(0.95))
+    assert np.isfinite(float(metrics["loss"]))
+    assert int(state2.step) == 1
+
+
+def test_loss_decreases_over_steps(train_setup):
+    cfg, model, tx_unused, state, batch = train_setup
+    # higher lr than the production 1e-4 so a few steps show progress
+    tx = make_optimizer(3e-3)
+    from cmtts_tpu.train.state import create_train_state
+    state = create_train_state(state.params, tx, n_ema=3)
+    step = make_train_step(model, cfg, tx, num_scales=3, donate=False)
+    probs = jnp.asarray(create_schedule_sampler("uniform", 3).probs())
+    # FIXED rng every step -> deterministic objective, so optimization
+    # must reduce it (random noise/indices would dominate otherwise)
+    sub = jax.random.PRNGKey(7)
+    losses = []
+    for i in range(12):
+        state, metrics = step(state, batch, probs, sub, jnp.asarray(0.5))
+        losses.append(float(metrics["loss"]))
+    assert all(np.isfinite(losses))
+    assert np.mean(losses[-3:]) < np.mean(losses[:3])
+
+
+def test_synthesize_step(train_setup):
+    cfg, model, tx, state, batch = train_setup
+    synth = make_synthesize_step(model, cfg)
+    mel, mel_loss = synth(state.target_params, batch, jax.random.PRNGKey(0))
+    assert mel.shape == batch["mels"].shape
+    assert np.isfinite(float(mel_loss))
