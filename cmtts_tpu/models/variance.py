@@ -116,7 +116,13 @@ class VariancePredictor(nn.Module):
 
     @nn.compact
     def __call__(self, x, pad_mask, deterministic: bool = True):
-        positions = positions_from_mask(~pad_mask)
+        # Exact reference semantics (PitchPredictor, modules.py:541-543):
+        # fairseq make_positions on the FIRST FEATURE CHANNEL — a position
+        # counts as padding iff x[..., 0] == 0 (true for zero-masked
+        # encoder states; incidentally never true after a biased Linear or
+        # a speaker-embedding add, matching the reference's behavior).
+        nonpad = x[..., 0] != 0
+        positions = positions_from_mask(nonpad)
         pos = PositionalEmbedding(x.shape[-1], 4096, learned_alpha=True, name="pos")(
             positions)
         x = x + pos
@@ -199,7 +205,9 @@ class VarianceAdaptor(nn.Module):
         x_in = grad_scale(x_mel, self.vp.predictor_grad)
         pad = jnp.zeros(x_mel.shape[:2], dtype=bool)
         cwt_out = self.cwt_predictor(self.cwt_in(x_in), pad, deterministic) * control
-        stats = self.cwt_stats(grad_scale(encoder_out[:, 0, :], self.vp.predictor_grad))
+        # NOTE: the reference feeds the raw first-phoneme state to the stats
+        # head with no predictor_grad blend (modules.py:283)
+        stats = self.cwt_stats(encoder_out[:, 0, :])
         f0_mean, f0_std = stats[:, 0], stats[:, 1]
         cwt_spec_pred = cwt_out[..., :10]
 
