@@ -13,6 +13,9 @@ def main():
     parser = argparse.ArgumentParser()
     parser.add_argument("--dataset", type=str, required=True)
     parser.add_argument("--config_root", type=str, default=None)
+    parser.add_argument("--embedder_ckpt", type=str, default=None,
+                        help="DeepSpeaker .h5 or GE2E encoder.pt checkpoint "
+                             "(random-init embedder if omitted)")
     args = parser.parse_args()
 
     os.environ.setdefault("JAX_PLATFORMS", "cpu")  # host-side pipeline
@@ -21,7 +24,15 @@ def main():
     from cmtts_tpu.data.preprocessor import Preprocessor
 
     cfg = load_configs(args.dataset, args.config_root)
-    Preprocessor(cfg).build_from_path()
+    embedder = None
+    if cfg.model.multi_speaker and cfg.model.speaker_embedder != "none":
+        from cmtts_tpu.models.speaker import PreDefinedEmbedder
+
+        embedder = PreDefinedEmbedder(cfg, args.embedder_ckpt)
+        if args.embedder_ckpt is None:
+            print("WARNING: no --embedder_ckpt; speaker embeddings use a "
+                  "random-init encoder")
+    Preprocessor(cfg, speaker_embedder=embedder).build_from_path()
 
 
 if __name__ == "__main__":

@@ -141,3 +141,26 @@ class MelSpectrogram:
 def get_mel_from_wav(audio, stft: MelSpectrogram):
     """Drop-in for the reference's ``Audio.tools.get_mel_from_wav``."""
     return stft(audio)
+
+
+def stft_magnitudes(wav: np.ndarray, n_fft: int, win_length: int,
+                    hop_length: int, center: bool = True) -> np.ndarray:
+    """Generic |STFT| on host numpy, frames-major: (T_frames, 1+n_fft//2).
+
+    Periodic Hann window of ``win_length`` zero-padded to ``n_fft``
+    (librosa/torch semantics) — used by the speaker-embedder front-ends.
+    """
+    wav = np.asarray(wav, np.float32)
+    n = np.arange(win_length)
+    window = (0.5 - 0.5 * np.cos(2.0 * np.pi * n / win_length)).astype(np.float32)
+    if win_length < n_fft:
+        lpad = (n_fft - win_length) // 2
+        window = np.pad(window, (lpad, n_fft - win_length - lpad))
+    if center:
+        pad = n_fft // 2
+        wav = np.pad(wav, (pad, pad), mode="reflect")
+    n_frames = max(1, 1 + (len(wav) - n_fft) // hop_length)
+    idx = (np.arange(n_frames)[:, None] * hop_length
+           + np.arange(n_fft)[None, :])
+    frames = wav[np.minimum(idx, len(wav) - 1)] * window[None, :]
+    return np.abs(np.fft.rfft(frames, n=n_fft, axis=-1)).astype(np.float32)
