@@ -1,0 +1,227 @@
+"""Metric harness: ``Cal`` (one results folder) and ``CalOneModel``
+(iterate checkpoint-step folders, CSV accumulation) — reference
+``all_metrics.py:34-846``.
+"""
+
+from __future__ import annotations
+
+import csv
+import os
+import os.path as osp
+
+import numpy as np
+
+from cmtts_tpu.metrics import core
+from cmtts_tpu.metrics.features import SR, load_wav
+
+
+class Cal:
+    """Per-results-folder metric calculator.
+
+    Matches synthesized wavs to raw references by basename: VCTK-style
+    ``<speaker>-...wav`` files live under ``raw_folder/<speaker>/``,
+    LJSpeech-style files directly under ``raw_folder``
+    (all_metrics.py:129-145).
+    """
+
+    def __init__(self, syn_folder: str, data_type: str = "VCTK",
+                 raw_folder: str = "", sampling_rate: int = SR,
+                 speaker_embedder=None, transcriber=None,
+                 text_lookup=None, max_pairs: int | None = None):
+        self.syn_folder = syn_folder
+        self.raw_folder = raw_folder
+        self.data_type = data_type
+        self.sr = sampling_rate
+        self.speaker_embedder = speaker_embedder
+        self.transcriber = transcriber
+        self.text_lookup = text_lookup or {}
+        self.syn2label = self._init_file_match()
+        if max_pairs:
+            self.syn2label = dict(list(self.syn2label.items())[:max_pairs])
+        self._wav_cache: dict[str, np.ndarray] = {}
+
+    def _init_file_match(self) -> dict[str, str]:
+        match = {}
+        names = [f for f in sorted(os.listdir(self.syn_folder))
+                 if f.endswith(".wav") and not f.endswith("_16000.wav")]
+        for name in names:
+            syn = osp.join(self.syn_folder, name)
+            if self.data_type == "VCTK":
+                spk = name.split("-")[0].split("_")[0]
+                raw = osp.join(self.raw_folder, spk, name)
+            elif self.data_type == "LJSpeech":
+                raw = osp.join(self.raw_folder, name)
+            else:
+                raise NotImplementedError(self.data_type)
+            if osp.exists(raw):
+                match[syn] = raw
+        return match
+
+    def _wav(self, path: str) -> np.ndarray:
+        if path not in self._wav_cache:
+            self._wav_cache[path] = load_wav(path, self.sr)
+        return self._wav_cache[path]
+
+    def _pair_mean(self, fn) -> float:
+        vals = [fn(self._wav(s), self._wav(r))
+                for s, r in self.syn2label.items()]
+        return float(np.nanmean(np.asarray(vals, dtype=np.float64)))
+
+    # -- metric entry points (compute_<name> dispatch) ----------------------
+    def compute_mcd(self):
+        return self._pair_mean(lambda s, r: core.mcd_dtw(s, r, self.sr))
+
+    def compute_mcd24(self):
+        tot_cost, tot_frames = 0.0, 0
+        for s, r in self.syn2label.items():
+            cost, frames = core.mcd24(self._wav(s), self._wav(r), self.sr)
+            tot_cost += cost
+            tot_frames += frames
+        return tot_cost / max(tot_frames, 1)
+
+    def compute_f0_rmse(self):
+        return self._pair_mean(lambda s, r: core.f0_rmse(s, r, self.sr))
+
+    def compute_f0_corr(self):
+        return self._pair_mean(lambda s, r: core.f0_corr(s, r, self.sr))
+
+    def compute_log_f0(self):
+        return self._pair_mean(lambda s, r: core.log_f0_mcep(s, r, self.sr))
+
+    def compute_ffe(self):
+        return self._pair_mean(lambda s, r: core.ffe(r, s, self.sr))
+
+    def compute_ssim(self):
+        pairs, maxs, mins = [], [], []
+        for s, r in self.syn2label.items():
+            a1, a2 = core.aligned_norm_mfcc(self._wav(s), self._wav(r), self.sr)
+            pairs.append((a1, a2))
+            maxs.append(max(a1.max(), a2.max()))
+            mins.append(min(a1.min(), a2.min()))
+        data_range = max(maxs) - min(mins)
+        return float(np.mean([core.ssim_2d(a, b, data_range)
+                              for a, b in pairs]))
+
+    def compute_si_sdr(self):
+        vals = [core.si_sdr(self._wav(s), self._wav(r))
+                for s, r in list(self.syn2label.items())[:10]]
+        return float(np.mean(vals))
+
+    def compute_mfcc_cos(self):
+        return self._pair_mean(lambda s, r: core.mfcc_cos(s, r, self.sr))
+
+    def compute_mfcc_gmm_kl(self):
+        from cmtts_tpu.metrics.features import mfcc
+
+        def pair_kl(s, r):
+            ft = mfcc(r, self.sr).T
+            fp = mfcc(s, self.sr).T
+            ft = ft / (np.linalg.norm(ft, axis=0, keepdims=True) + 1e-12)
+            fp = fp / (np.linalg.norm(fp, axis=0, keepdims=True) + 1e-12)
+            return core.gmm_kl(ft, fp)
+
+        return self._pair_mean(pair_kl)
+
+    def compute_speaker_cos(self):
+        return self._pair_mean(
+            lambda s, r: core.speaker_cos(s, r, self.speaker_embedder))
+
+    def _fid(self, feature_type: str):
+        gen = core.frame_features(list(self.syn2label.keys()), feature_type,
+                                  self.sr)
+        ref = core.frame_features(list(self.syn2label.values()), feature_type,
+                                  self.sr)
+        return core.frechet_distance(gen, ref)
+
+    def compute_fid_mel(self):
+        return self._fid("mel")
+
+    def compute_fid_mfcc(self):
+        return self._fid("mfcc")
+
+    def compute_fid_mfcc_un_norm(self):
+        return self._fid("mfcc_un_norm")
+
+    def _precision_recall(self, feature_type: str):
+        gen = core.frame_features(list(self.syn2label.keys()), feature_type,
+                                  self.sr, max_frames_per_file=100)
+        ref = core.frame_features(list(self.syn2label.values()), feature_type,
+                                  self.sr, max_frames_per_file=100)
+        return core.manifold_precision_recall(gen, ref)
+
+    def compute_precision_mel(self):
+        return self._precision_recall("mel")[0]
+
+    def compute_precision_mfcc(self):
+        return self._precision_recall("mfcc")[0]
+
+    def compute_recall_mel(self):
+        return self._precision_recall("mel")[1]
+
+    def compute_recall_mfcc(self):
+        return self._precision_recall("mfcc")[1]
+
+    def compute_wer(self):
+        if self.transcriber is None:
+            self.transcriber = core.make_whisper_transcriber()
+        if self.transcriber is None:
+            raise RuntimeError(
+                "no ASR available: whisper weights not cached in this "
+                "environment — pass transcriber= to Cal")
+        vals = []
+        for syn in self.syn2label:
+            base = osp.splitext(osp.basename(syn))[0]
+            ref_text = self.text_lookup.get(base)
+            if ref_text is None:
+                continue
+            hyp = self.transcriber(self._wav(syn), self.sr)
+            vals.append(core.wer(ref_text, hyp))
+        if not vals:
+            raise RuntimeError("no reference transcripts matched; pass "
+                               "text_lookup={basename: text}")
+        return float(np.mean(vals))
+
+    compute_wer_un_comma = compute_wer
+
+    # -- list dispatch (all_metrics.py:735-739) ------------------------------
+    def get_metrics_by_list(self, names: list[str]) -> list[float]:
+        return [getattr(self, "compute_" + n)() for n in names]
+
+
+class CalOneModel:
+    """Iterate checkpoint-step result subfolders and accumulate a CSV
+    (all_metrics.py:745-824)."""
+
+    def __init__(self, folder_path: str, raw_folder: str = "",
+                 data_type: str = "VCTK", file_find_type: str | None = None,
+                 key_steps=(100000, 200000, 300000), **cal_kwargs):
+        self.folder_path = folder_path
+        self.raw_folder = raw_folder
+        self.data_type = data_type
+        self.cal_kwargs = cal_kwargs
+        if file_find_type is None:
+            subs = [osp.join(folder_path, d) for d in os.listdir(folder_path)
+                    if osp.isdir(osp.join(folder_path, d)) and d.isdigit()]
+        elif file_find_type == "key_step":
+            subs = [osp.join(folder_path, str(s)) for s in key_steps]
+        elif file_find_type == "only_end":
+            subs = [osp.join(folder_path, str(key_steps[-1]))]
+        else:
+            raise NotImplementedError(file_find_type)
+        self.subdirectories = sorted(subs, key=lambda p: int(osp.basename(p)))
+
+    def get_model_metrics_by_list(self, names: list[str]) -> str:
+        rows = []
+        csv_path = osp.join(self.folder_path,
+                            "metrics_" + "_".join(names) + ".csv")
+        for sub in self.subdirectories:
+            cal = Cal(syn_folder=sub, data_type=self.data_type,
+                      raw_folder=self.raw_folder, **self.cal_kwargs)
+            rows.append([int(osp.basename(sub))] + cal.get_metrics_by_list(names))
+            # write after every step so a crash keeps partial results
+            with open(csv_path, "w", newline="") as f:
+                w = csv.writer(f)
+                w.writerow(["train_step"] + names)
+                for row in sorted(rows):
+                    w.writerow(row)
+        return csv_path
