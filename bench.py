@@ -1,10 +1,19 @@
-"""End-to-end synthesis benchmark: RTF at T=1 on one chip.
+"""End-to-end synthesis benchmark: RTF on one chip at T=1 (primary),
+plus T=2/4 and mel-frames/sec extras.
 
 Flagship LJSpeech-config CM-TTS + HiFi-GAN, fused text->mel->wav pipeline
-(one XLA graph), batch 8, ~real sentence lengths.  Metric = RTF
+(one XLA graph per bucket), batch 8, bf16 compute.  Metric = RTF
 (synthesis wall-clock / generated audio seconds), the reference's
 ``p_rtf_cm.py`` definition (:174-230); north-star RTF <= 0.01
 (BASELINE.md).  Prints one JSON line.
+
+Timing methodology: the dev-environment TPU is reached through a tunnel
+where (a) full-tensor device->host fetches are tunnel-bandwidth-bound and
+(b) ``block_until_ready`` does not actually synchronize remote execution.
+So the timed loop keeps everything on device with a data dependency
+between iterations (output folded into the next input) and fetches ONE
+scalar at the end — the scalar forces completion of the whole chain and
+its single ~25 ms round trip is amortized over all iterations.
 """
 
 import json
@@ -13,7 +22,7 @@ import time
 import numpy as np
 
 
-def main():
+def make_pipeline(T: int):
     import jax
     import jax.numpy as jnp
 
@@ -27,15 +36,15 @@ def main():
     rng = jax.random.PRNGKey(0)
 
     B, T_TXT = 8, 96
-    tokens = [np.random.RandomState(i).randint(13, 140, T_TXT).astype(np.int32)
-              for i in range(B)]
+    tokens = np.stack([
+        np.random.RandomState(i).randint(13, 140, T_TXT).astype(np.int32)
+        for i in range(B)])
 
-    # full init (cond-net + denoiser) via the training forward
     variables = model.init(
         {"params": rng, "dropout": rng},
         jnp.zeros((B, 128, cfg.stft.n_mel_channels)), jnp.zeros(B),
         speakers=jnp.zeros(B, jnp.int32),
-        texts=jnp.asarray(np.stack(tokens)),
+        texts=jnp.asarray(tokens),
         src_lens=jnp.full((B,), T_TXT, jnp.int32),
         deterministic=True)
     params = variables["params"]
@@ -47,38 +56,76 @@ def main():
             float(np.log(7.0))))
 
     voc = HiFiGANGenerator(HiFiGANConfig())
-    voc_params = voc.init(jax.random.PRNGKey(1), jnp.zeros((1, 16, 80)))["params"]
+    voc_params = voc.init(jax.random.PRNGKey(1),
+                          jnp.zeros((1, 16, cfg.stft.n_mel_channels)))["params"]
 
-    synth = Synthesizer(cfg, params, voc_params, T=1)
+    synth = Synthesizer(cfg, params, voc_params, T=T,
+                        compute_dtype=jnp.bfloat16)
     mel_bucket = 768
+    fn = synth._get(mel_bucket, True)
+    base_args = dict(
+        speakers=jnp.zeros(B, jnp.int32),
+        texts=jnp.asarray(tokens),
+        src_lens=jnp.full((B,), T_TXT, jnp.int32),
+        spker_embeds=jnp.zeros((B, cfg.model.external_speaker_dim)),
+    )
+    return cfg, synth, fn, base_args, B, mel_bucket
 
-    # warmup / compile
-    mel, mel_lens, wav = synth(tokens, mel_bucket=mel_bucket)
-    jax.block_until_ready(wav)
 
-    n_iters = 10
+def timed_rtf(T: int, n_iters: int = 20):
+    import jax
+    import jax.numpy as jnp
+
+    cfg, synth, fn, a, B, mel_bucket = make_pipeline(T)
+
+    def step(carry, i):
+        mel, mel_lens, wav = fn(
+            synth.cm_params, synth.vocoder_params,
+            a["speakers"], a["texts"] + (carry % 2).astype(jnp.int32) * 0,
+            a["src_lens"], a["spker_embeds"] + carry * 1e-20,
+            jax.random.fold_in(jax.random.PRNGKey(0), i),
+            1.0, 1.0, 1.0)
+        # fold the output back into the next iteration's input:
+        # guarantees sequential execution on device
+        return wav.ravel()[::65536].sum(), (mel_lens, wav)
+
+    carry = jnp.zeros(())
+    carry, (mel_lens, wav) = step(carry, 0)  # warmup / compile
+    float(carry)
+
     t0 = time.perf_counter()
-    total_audio_sec = 0.0
-    total_frames = 0
-    for i in range(n_iters):
-        mel, mel_lens, wav = synth(tokens, seed=i, mel_bucket=mel_bucket)
-    jax.block_until_ready(wav)
+    for i in range(1, n_iters + 1):
+        carry, (mel_lens, wav) = step(carry, i)
+    float(carry)  # one scalar fetch syncs the whole chain
     elapsed = time.perf_counter() - t0
 
-    total_frames = int(mel_lens.sum()) * n_iters
-    total_audio_sec = total_frames * cfg.stft.hop_length / cfg.stft.sampling_rate
-    rtf = elapsed / total_audio_sec
-    frames_per_sec = total_frames / elapsed
+    frames = int(np.asarray(mel_lens).sum())
+    audio_sec = frames * cfg.stft.hop_length / cfg.stft.sampling_rate
+    per_iter = elapsed / n_iters
+    return per_iter / audio_sec, frames / per_iter, audio_sec
+
+
+def main():
+    import jax
+
+    rtf1, fps1, audio_sec = timed_rtf(1)
+    rtf2, fps2, _ = timed_rtf(2)
+    rtf4, fps4, _ = timed_rtf(4)
 
     print(json.dumps({
         "metric": "rtf_T1",
-        "value": rtf,
+        "value": rtf1,
         "unit": "wallclock/audio_sec",
-        "vs_baseline": 0.01 / rtf,
+        "vs_baseline": 0.01 / rtf1,
         "extra": {
-            "mel_frames_per_sec_per_chip": frames_per_sec,
-            "batch": B,
-            "audio_sec_per_iter": total_audio_sec / n_iters,
+            "rtf_T2": rtf2,
+            "rtf_T4": rtf4,
+            "mel_frames_per_sec_per_chip_T1": fps1,
+            "mel_frames_per_sec_per_chip_T2": fps2,
+            "mel_frames_per_sec_per_chip_T4": fps4,
+            "batch": 8,
+            "audio_sec_per_iter": audio_sec,
+            "compute_dtype": "bfloat16",
             "device": str(jax.devices()[0]),
         },
     }))

@@ -20,7 +20,11 @@ import numpy as np
 def main():
     parser = argparse.ArgumentParser()
     parser.add_argument("--model", type=str, required=True,
-                        choices=["consistency_training", "consistency_distillation"])
+                        choices=["consistency_training",
+                                 "consistency_distillation", "progdist"])
+    parser.add_argument("--teacher_path", type=str, default=None,
+                        help="teacher checkpoint for distillation: orbax "
+                             "step dir or reference torch model*.pt")
     parser.add_argument("--dataset", type=str, required=True)
     parser.add_argument("--restore_step", type=int, default=0)
     parser.add_argument("--path_tag", type=str, default="")
@@ -71,7 +75,10 @@ def main():
     ema_scale_fn = create_ema_and_scales_fn(
         cm.target_ema_mode, cm.start_ema, cm.scale_mode, cm.start_scales,
         cm.end_scales, cm.total_training_steps, cm.distill_steps_per_iter)
-    sampler = create_schedule_sampler(cm.schedule_sampler, cm.start_scales)
+    # progdist samples indices in [0, N) vs the CM grid's [0, N-1)
+    # (reference karras_diffusion.py:340 vs :213)
+    sampler_scales = cm.start_scales + (1 if args.model == "progdist" else 0)
+    sampler = create_schedule_sampler(cm.schedule_sampler, sampler_scales)
     tx = make_optimizer(cm.lr, cm.weight_decay)
 
     batches = batch_iterator(dataset, cfg.train.batch_size,
@@ -106,11 +113,33 @@ def main():
                        for p in jax.tree_util.tree_leaves(variables["params"]))
         print(f"==> params: {n_params/1e6:.1f}M")
 
+    teacher_params = None
+    if args.model in ("consistency_distillation", "progdist"):
+        tp = args.teacher_path or cm.teacher_model_path
+        if not tp:
+            raise SystemExit(f"{args.model} needs --teacher_path (or "
+                             "cm.teacher_model_path in train.yaml)")
+        if tp.endswith(".pt"):
+            from cmtts_tpu.convert.from_torch import load_torch_cm_checkpoint
+
+            teacher_params = load_torch_cm_checkpoint(tp, cfg)
+        else:
+            from cmtts_tpu.train.checkpoint import restore_payload_from_dir
+
+            teacher_params = restore_payload_from_dir(tp)["model"]
+        teacher_params = jax.tree_util.tree_map(jnp.asarray, teacher_params)
+        print(f"==> loaded teacher from {tp}")
+        # student initializes from the teacher (reference
+        # train_util.py:651-687 resume-from-teacher plumbing)
+        if step0 == 0:
+            state = create_train_state(teacher_params, tx, len(cm.ema_rate))
+
     mesh = make_mesh()
     state = replicate_state(state, mesh)
 
     _, num_scales = ema_scale_fn(step0)
-    train_step = make_train_step(model, cfg, tx, num_scales)
+    train_step = make_train_step(model, cfg, tx, num_scales,
+                                 teacher_params=teacher_params)
     synth_step = make_synthesize_step(model, cfg)
 
     step = step0 + 1
@@ -119,8 +148,11 @@ def main():
         target_ema, new_scales = ema_scale_fn(step)
         if new_scales != num_scales:
             num_scales = new_scales
-            train_step = make_train_step(model, cfg, tx, num_scales)
-            sampler = create_schedule_sampler(cm.schedule_sampler, num_scales)
+            train_step = make_train_step(model, cfg, tx, num_scales,
+                                         teacher_params=teacher_params)
+            sampler = create_schedule_sampler(
+                cm.schedule_sampler,
+                num_scales + (1 if args.model == "progdist" else 0))
 
         clean = {k: v for k, v in batch.items() if k not in ("ids", "raw_texts")}
         sharded = shard_batch(clean, mesh)

@@ -259,6 +259,69 @@ def consistency_loss(
     return total, aux
 
 
+def progdist_loss(
+    apply_fn: Callable,
+    params,
+    teacher_denoise: Callable,         # (x_t, sigma) -> denoised, frozen
+    x_start: jnp.ndarray,
+    noise: jnp.ndarray,
+    indices: jnp.ndarray,              # (B,) int in [0, num_scales)
+    num_scales: int,
+    batch: dict,
+    cfg: Config,
+    sched: KarrasSchedule,
+    sil_ids: tuple[int, ...],
+    dropout_rng,
+):
+    """Progressive distillation: the student at t matches the denoiser
+    implied by TWO teacher Euler half-steps t -> t2 -> t3 (reference
+    ``progdist_losses``, karras_diffusion.py:299-390).
+
+    Returns (per_sample_total (B,), aux dict) like consistency_loss.
+    """
+    denoise = make_denoise_fn(apply_fn, sched)
+    dims = x_start.ndim
+
+    def t_of(idx_float):
+        lo = sched.sigma_max ** (1 / sched.rho)
+        hi = sched.sigma_min ** (1 / sched.rho)
+        return (lo + idx_float / num_scales * (hi - lo)) ** sched.rho
+
+    idx = indices.astype(jnp.float32)
+    t = t_of(idx)
+    t2 = t_of(idx + 0.5)
+    t3 = t_of(idx + 1.0)
+
+    x_t = x_start + noise * append_dims(t, dims)
+    denoised_x, cond_out = denoise(params, x_t, t, batch, dropout_rng, False)
+    tts_total, tts_losses = variance_loss(cond_out, batch, cfg, sil_ids)
+
+    def euler(x, ta, tb):
+        d = (x - teacher_denoise(x, ta)) / append_dims(ta, dims)
+        return x + d * append_dims(tb - ta, dims)
+
+    x_t2 = jax.lax.stop_gradient(euler(x_t, t, t2))
+    x_t3 = jax.lax.stop_gradient(euler(x_t2, t2, t3))
+    target_x = jax.lax.stop_gradient(
+        x_t - append_dims(t, dims) * (x_t3 - x_t) / append_dims(t3 - t, dims))
+
+    snrs = sched.snr(t)
+    weights = get_weightings(cfg.train.cm.weight_schedule, snrs,
+                             sched.sigma_data)
+    loss_norm = cfg.train.cm.loss_norm.split("+")[0]
+    diffs = denoised_x - target_x
+    if loss_norm == "l1":
+        cm = mean_flat(jnp.abs(diffs)) * weights
+    elif loss_norm == "l2":
+        cm = mean_flat(diffs ** 2) * weights
+    else:
+        raise ValueError(f"Unknown loss norm {loss_norm}")
+
+    total = 10.0 * cm + tts_total
+    aux = {"cm_loss": cm, "tts_loss": tts_total, **tts_losses}
+    return total, aux
+
+
 def masked_mel_l1(mel_pred, mel_target, mel_lens, max_len: int):
     """Eval-time masked mel L1 with nonzero-row weights (reference
     MelLoss, model/loss.py:38-92)."""

@@ -81,18 +81,22 @@ class Denoiser(nn.Module):
     def __call__(self, x, rescaled_t, cond, speaker_emb=None):
         C = self.cfg.residual_channels
         N = self.cfg.residual_layers
+        # compute dtype follows the input (bf16 inference path); keep the
+        # residual-scan carry dtype-consistent
+        dt = x.dtype
+        cond = cond.astype(dt)
 
         h = nn.Dense(C, kernel_init=nn.initializers.he_normal(), name="in_proj")(x)
         h = jax.nn.relu(h)
 
-        t = diffusion_embedding(rescaled_t, C)
+        t = diffusion_embedding(rescaled_t, C).astype(dt)
         t = nn.Dense(4 * C, kernel_init=nn.initializers.xavier_uniform(),
                      use_bias=False, name="mlp_in")(t)
         t = mish(t)
         t = nn.Dense(C, kernel_init=nn.initializers.xavier_uniform(),
                      use_bias=False, name="mlp_out")(t)
 
-        spk = speaker_emb if self.multi_speaker else None
+        spk = speaker_emb.astype(dt) if self.multi_speaker else None
 
         ScanBlock = nn.scan(
             ResidualBlock,

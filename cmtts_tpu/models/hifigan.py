@@ -92,6 +92,50 @@ class HiFiGANGenerator(nn.Module):
         return jnp.tanh(x)[..., 0]
 
 
+def hifigan_apply_fused(params: dict, mel, cfg: HiFiGANConfig | None = None,
+                        mrf_pallas_max_c: int = 64, interpret: bool = False):
+    """Functional HiFi-GAN forward with Pallas fused-MRF stages.
+
+    Same math and same param tree as ``HiFiGANGenerator`` — the
+    narrow-channel upsample stages (C <= ``mrf_pallas_max_c``) run their
+    entire 18-conv MRF in one Pallas kernel (VMEM-resident, x read once;
+    see cmtts_tpu.ops.mrf_pallas), which is HBM-traffic- not FLOP-bound
+    under XLA.  Wider stages keep the flax path (their fused weights
+    would not fit VMEM and XLA is compute-bound there anyway).
+    Compute dtype follows ``mel.dtype``.
+    """
+    from cmtts_tpu.ops.mrf_pallas import fused_mrf_stage, pack_mrf_params
+
+    c = cfg or HiFiGANConfig()
+    dtype = mel.dtype
+    x = nn.Conv(c.upsample_initial_channel, (7,), padding="SAME",
+                dtype=dtype).apply({"params": params["conv_pre"]}, mel)
+    for i, (rate, kernel) in enumerate(
+            zip(c.upsample_rates, c.upsample_kernel_sizes)):
+        ch = c.upsample_initial_channel // (2 ** (i + 1))
+        x = nn.leaky_relu(x, LRELU_SLOPE)
+        x = nn.ConvTranspose(ch, (kernel,), strides=(rate,), padding="SAME",
+                             dtype=dtype).apply({"params": params[f"up_{i}"]}, x)
+        if ch <= mrf_pallas_max_c:
+            packed = pack_mrf_params(params, i, ch,
+                                     c.resblock_kernel_sizes, dtype)
+            x = fused_mrf_stage(x, packed, c.resblock_kernel_sizes,
+                                c.resblock_dilation_sizes[0],
+                                interpret=interpret)
+        else:
+            acc = None
+            for j, (ks, ds) in enumerate(
+                    zip(c.resblock_kernel_sizes, c.resblock_dilation_sizes)):
+                h = ResBlock(ch, ks, tuple(ds)).apply(
+                    {"params": params[f"res_{i}_{j}"]}, x)
+                acc = h if acc is None else acc + h
+            x = acc / len(c.resblock_kernel_sizes)
+    x = nn.leaky_relu(x, 0.01)
+    x = nn.Conv(1, (7,), padding="SAME",
+                dtype=dtype).apply({"params": params["conv_post"]}, x)
+    return jnp.tanh(x)[..., 0]
+
+
 def _fold_weight_norm(g, v):
     """weight_norm fold: w = g * v / ||v|| over all-but-first dims
     (torch semantics; the reference removes weight norm at inference,

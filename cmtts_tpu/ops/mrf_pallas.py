@@ -1,0 +1,205 @@
+"""Fused multi-receptive-field (MRF) vocoder stage as a Pallas TPU kernel.
+
+Why: each HiFi-GAN upsample stage runs 3 parallel ResBlocks (kernels
+3/7/11, dilation pairs 1/3/5) = 18 convolutions + activations + residual
+adds over very long waveforms (up to 256x the mel rate).  XLA executes
+each conv as its own HBM round trip — at the late stages (32/64
+channels, ~200k samples) that is ~15 full tensor traversals and the
+stage is HBM-bandwidth-bound, not FLOP-bound.  This kernel computes the
+ENTIRE MRF stage per length-tile in VMEM: x is read once and the fused
+output written once.
+
+Design notes (see /opt/skills/guides/pallas_guide.md):
+- internal layout is channels-first (C, X): the length axis maps to
+  lanes (128-wide, fully used), channels to sublanes — at C=32 a
+  channels-last layout would idle 3/4 of every lane.
+- narrow stages (C < 128) build a shifted-copy patch matrix
+  (C*k, TILE+pad) in VMEM and run ONE matmul per conv,
+  W (C, C*k) @ patches, lifting the contraction dim from C to C*k;
+  wide stages (C >= 128) accumulate per-tap matmuls (K=C is already
+  MXU-sized) to keep VMEM bounded.
+- halo handling: x is pre-padded host-side by H = total receptive radius
+  (lane-aligned); every tile computes on [t*TILE, t*TILE + TILE + 2H)
+  and writes only the central TILE, so tile boundaries are exact.
+- activations stay in the input dtype (bf16 on the inference path);
+  matmuls accumulate in f32 via preferred_element_type.
+
+Parity: equivalent (up to float reassociation) to the flax ``ResBlock``
+stack in cmtts_tpu.models.hifigan (reference ``hifigan/models.py:20-103``).
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+LRELU_SLOPE = 0.1
+
+
+def _receptive_radius(kernel_sizes, dilations) -> int:
+    r = 0
+    for k in kernel_sizes:
+        rk = sum(((k - 1) // 2) * d + (k - 1) // 2 for d in dilations)
+        r = max(r, rk)
+    return r
+
+
+def _lrelu(x):
+    # Mosaic can't compare bf16 vectors directly; compare in f32
+    cond = x.astype(jnp.float32) >= 0
+    return jnp.where(cond, x, (LRELU_SLOPE * x.astype(jnp.float32)).astype(x.dtype))
+
+
+def default_tile(C: int) -> int:
+    """Length-tile keeping all per-tile buffers within VMEM."""
+    return {512: 1024, 256: 2048, 128: 2048, 64: 2048}.get(C, 4096)
+
+
+def _shift(h, off, C, W):
+    if off < 0:
+        return jnp.concatenate(
+            [jnp.zeros((C, -off), h.dtype), h[:, :W + off]], axis=1)
+    if off > 0:
+        return jnp.concatenate(
+            [h[:, off:], jnp.zeros((C, off), h.dtype)], axis=1)
+    return h
+
+
+def _conv_same(h, w_flat, bias, k, d, C, W, dtype):
+    """SAME conv on the local buffer (C, W).  Edge positions read zeros —
+    they lie inside the halo and never reach the central TILE."""
+    half = (k - 1) // 2
+    offs = [(t - half) * d for t in range(k)]
+    if C < 128:
+        patches = jnp.concatenate([_shift(h, o, C, W) for o in offs], axis=0)
+        out = jnp.dot(w_flat, patches, preferred_element_type=jnp.float32)
+    else:
+        out = jnp.zeros((C, W), jnp.float32)
+        for t, o in enumerate(offs):
+            out = out + jnp.dot(w_flat[:, t * C:(t + 1) * C], _shift(h, o, C, W),
+                                preferred_element_type=jnp.float32)
+    return (out + bias.astype(jnp.float32)).astype(dtype)
+
+
+def _mrf_body(x, refs, kernel_sizes, dilations, C, W, dtype, mask):
+    """x (C, W) -> fused MRF output (C, W) (valid only in the center).
+
+    ``mask`` (1, W) is 1 where the position lies inside the true sequence
+    [0, L).  Every conv output is re-masked: the stack of SAME convs
+    zero-pads at EVERY layer, so activations outside the sequence must
+    stay exactly zero — conv(0) = bias would otherwise bleed into the
+    edge region through subsequent taps.
+    """
+    n_blocks = len(kernel_sizes)
+    acc = None
+    for b in range(n_blocks):
+        w1, b1, w2, b2 = refs[4 * b: 4 * b + 4]
+        k = kernel_sizes[b]
+        y = x
+        for p, d in enumerate(dilations):
+            h = _lrelu(y)
+            h = _conv_same(h, w1[p], b1[p], k, d, C, W, dtype) * mask
+            h = _lrelu(h)
+            h = _conv_same(h, w2[p], b2[p], k, 1, C, W, dtype) * mask
+            y = y + h
+        acc = y if acc is None else acc + y
+    return (acc / n_blocks).astype(dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("kernel_sizes", "dilations",
+                                             "tile", "interpret"))
+def fused_mrf_stage(x, stage_params_packed, kernel_sizes=(3, 7, 11),
+                    dilations=(1, 3, 5), tile: int | None = None,
+                    interpret: bool = False):
+    """Apply one fused MRF stage.
+
+    x: (B, L, C) channels-last (the generator's layout).
+    stage_params_packed: flat tuple from ``pack_mrf_params``.
+    Returns (B, L, C).
+    """
+    B, L, C = x.shape
+    dtype = x.dtype
+    H = _receptive_radius(kernel_sizes, dilations)
+    H = int(math.ceil(H / 128) * 128)
+    TILE = tile or default_tile(C)
+    TILE = min(TILE, int(math.ceil(L / 128) * 128))
+    n_tiles = -(-L // TILE)
+    Lp = n_tiles * TILE
+    W = TILE + 2 * H
+
+    # channels-first + halo pad (one XLA relayout; the kernel then reads
+    # x exactly once)
+    xt = jnp.transpose(x, (0, 2, 1))
+    xt = jnp.pad(xt, ((0, 0), (0, 0), (H, H + Lp - L)))
+
+    n_blocks = len(kernel_sizes)
+
+    def kernel(x_hbm, *refs):
+        b = pl.program_id(0)
+        t = pl.program_id(1)
+        weight_vals = [r[:] for r in refs[:-1]]
+        out_ref = refs[-1]
+
+        def body(x_vmem, sem):
+            dma = pltpu.make_async_copy(
+                x_hbm.at[b, :, pl.ds(t * TILE, W)], x_vmem, sem)
+            dma.start()
+            dma.wait()
+            # global padded coordinate of each local position
+            pos = jax.lax.broadcasted_iota(jnp.int32, (1, W), 1) + t * TILE
+            mask = ((pos >= H) & (pos < H + L)).astype(dtype)
+            out = _mrf_body(x_vmem[:], weight_vals, kernel_sizes, dilations,
+                            C, W, dtype, mask)
+            out_ref[0] = out[:, H: H + TILE]
+
+        pl.run_scoped(
+            body,
+            x_vmem=pltpu.VMEM((C, W), dtype),
+            sem=pltpu.SemaphoreType.DMA(()),
+        )
+
+    weight_specs = [pl.BlockSpec(memory_space=pltpu.VMEM)
+                    for _ in range(4 * n_blocks)]
+
+    out = pl.pallas_call(
+        kernel,
+        grid=(B, n_tiles),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)] + weight_specs,
+        out_specs=pl.BlockSpec((1, C, TILE), lambda b, t: (b, 0, t),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((B, C, Lp), dtype),
+        interpret=interpret,
+    )(xt, *stage_params_packed)
+
+    return jnp.transpose(out[:, :, :L], (0, 2, 1))
+
+
+def pack_mrf_params(gen_params: dict, stage: int, C: int,
+                    kernel_sizes=(3, 7, 11), dtype=jnp.float32):
+    """Flatten the flax res_{stage}_{j} param subtrees into the kernel's
+    stacked layout (w1, b1, w2, b2) per block.
+
+    flax Conv kernel is (k, C_in, C_out); the patch matrix stacks taps as
+    [tap0 rows; tap1 rows; ...], so w_flat[o, t*C + i] = K[t, i, o].
+    """
+    packed = []
+    for j, k in enumerate(kernel_sizes):
+        bp = gen_params[f"res_{stage}_{j}"]
+        n_pairs = len([n for n in bp if n.startswith("conv1_")])
+        w1s, b1s, w2s, b2s = [], [], [], []
+        for p in range(n_pairs):
+            k1 = bp[f"conv1_{p}"]["kernel"]
+            k2 = bp[f"conv2_{p}"]["kernel"]
+            w1s.append(jnp.transpose(k1, (2, 0, 1)).reshape(C, k * C))
+            w2s.append(jnp.transpose(k2, (2, 0, 1)).reshape(C, k * C))
+            b1s.append(bp[f"conv1_{p}"]["bias"][:, None])
+            b2s.append(bp[f"conv2_{p}"]["bias"][:, None])
+        packed.extend([
+            jnp.stack(w1s).astype(dtype), jnp.stack(b1s).astype(dtype),
+            jnp.stack(w2s).astype(dtype), jnp.stack(b2s).astype(dtype)])
+    return tuple(packed)

@@ -69,10 +69,23 @@ class Synthesizer:
         hifigan = self.hifigan
         sampler = self.sampler
         T = self.T
+        cdt = self.compute_dtype
 
         @jax.jit
         def run(cm_params, voc_params, speakers, texts, src_lens, spker_embeds,
                 rng, d_control, p_control, e_control):
+            if cdt != jnp.float32:
+                # bf16 compute for the two FLOP-heavy nets (denoiser +
+                # vocoder); the conditioning net stays f32 — it is tiny
+                # (phoneme-length) and its duration/pitch bucketing math
+                # is precision-sensitive.  Casts are in-graph; sampler
+                # math and outputs stay f32.
+                cm_params = dict(cm_params)
+                cm_params["denoiser"] = jax.tree_util.tree_map(
+                    lambda x: x.astype(cdt), cm_params["denoiser"])
+                if voc_params is not None:
+                    voc_params = jax.tree_util.tree_map(
+                        lambda x: x.astype(cdt), voc_params)
             cond_out = model.apply(
                 {"params": cm_params},
                 speakers=speakers, texts=texts, src_lens=src_lens,
@@ -87,10 +100,10 @@ class Synthesizer:
                 c_skip, c_out, c_in = sched.active_scalings(sigma)
                 out = model.apply(
                     {"params": cm_params},
-                    c_in[:, None, None] * x_t,
+                    (c_in[:, None, None] * x_t).astype(cdt),
                     sched.rescale_t(sigma),
                     cond, spk,
-                    method=CMTTS.denoise)
+                    method=CMTTS.denoise).astype(jnp.float32)
                 return c_out[:, None, None] * out + c_skip[:, None, None] * x_t
 
             B = texts.shape[0]
@@ -99,7 +112,12 @@ class Synthesizer:
                              ts=default_ts(T) if sampler == "multistep" else None)
             mel_lens = cond_out["mel_lens"]
             if vocode:
-                wav = hifigan.apply({"params": voc_params}, mel)
+                from cmtts_tpu.models.hifigan import hifigan_apply_fused
+
+                interpret = jax.default_backend() == "cpu"
+                wav = hifigan_apply_fused(
+                    voc_params, mel.astype(cdt), hifigan.cfg,
+                    interpret=interpret).astype(jnp.float32)
             else:
                 wav = None
             return mel, mel_lens, wav

@@ -77,6 +77,12 @@ def restore_checkpoint(base_path: str, step: int | None = None,
     return ckptr.restore(path)
 
 
+def restore_payload_from_dir(path: str) -> dict:
+    """Restore one explicit step directory (teacher loading)."""
+    ckptr = ocp.StandardCheckpointer()
+    return ckptr.restore(os.path.abspath(path))
+
+
 def state_from_payload(payload: dict, tx, n_ema: int) -> CMTrainState:
     import jax.numpy as jnp
 

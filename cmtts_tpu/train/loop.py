@@ -21,7 +21,12 @@ import jax.numpy as jnp
 import optax
 
 from cmtts_tpu.cm.karras import KarrasSchedule
-from cmtts_tpu.cm.losses import consistency_loss, masked_mel_l1
+from cmtts_tpu.cm.losses import (
+    consistency_loss,
+    make_denoise_fn,
+    masked_mel_l1,
+    progdist_loss,
+)
 from cmtts_tpu.cm.sampling import sample_mel
 from cmtts_tpu.core.config import Config
 from cmtts_tpu.models.cmtts import CMTTS
@@ -61,17 +66,28 @@ def make_apply_fn(model: CMTTS) -> Callable:
 
 
 def make_train_step(model: CMTTS, cfg: Config, tx: optax.GradientTransformation,
-                    num_scales: int, donate: bool = True):
+                    num_scales: int, donate: bool = True,
+                    teacher_params=None):
     """Build the jitted train step.
 
     Signature: (state, batch, probs, rng, target_ema) ->
                (state, metrics dict with per-sample 'indices'/'loss_per_sample'
                 for the LSM sampler update).
+
+    ``teacher_params`` (frozen CMTTS params) switches consistency
+    TRAINING (Euler step against ground-truth x0) to consistency
+    DISTILLATION (Heun step against the teacher's denoiser); with
+    ``training_mode: progdist`` the progressive-distillation loss is
+    used instead (reference train_util.py:802-879 loss dispatch).
     """
     sched = schedule_from_config(cfg)
     sil_ids = tuple(sil_phonemes_ids())
     apply_fn = make_apply_fn(model)
     ema_rates = cfg.train.cm.ema_rate
+    training_mode = cfg.train.cm.training_mode
+    if training_mode in ("consistency_distillation", "progdist") and \
+            teacher_params is None:
+        raise ValueError(f"{training_mode} requires teacher_params")
 
     def step_fn(state: CMTrainState, batch: dict, probs: jnp.ndarray,
                 rng: jnp.ndarray, target_ema: jnp.ndarray):
@@ -85,10 +101,25 @@ def make_train_step(model: CMTTS, cfg: Config, tx: optax.GradientTransformation,
         weights = 1.0 / (probs.shape[0] * probs[indices])
         noise = jax.random.normal(rng_noise, x_start.shape, x_start.dtype)
 
+        teacher_denoise = None
+        if teacher_params is not None:
+            denoise = make_denoise_fn(apply_fn, sched)
+
+            def teacher_denoise(x_t, sigma):
+                out, _ = denoise(teacher_params, x_t, sigma, batch, rng_drop,
+                                 True)
+                return jax.lax.stop_gradient(out)
+
         def loss_fn(params):
-            total, aux = consistency_loss(
-                apply_fn, params, state.target_params, x_start, noise,
-                indices, num_scales, batch, cfg, sched, sil_ids, rng_drop)
+            if training_mode == "progdist":
+                total, aux = progdist_loss(
+                    apply_fn, params, teacher_denoise, x_start, noise,
+                    indices, num_scales, batch, cfg, sched, sil_ids, rng_drop)
+            else:
+                total, aux = consistency_loss(
+                    apply_fn, params, state.target_params, x_start, noise,
+                    indices, num_scales, batch, cfg, sched, sil_ids, rng_drop,
+                    teacher_denoise=teacher_denoise)
             loss = (total * weights).mean()
             return loss, (total, aux)
 

@@ -1,0 +1,5 @@
+#!/usr/bin/env bash
+# Corpus normalization + feature extraction (reference deal_data_Lj.sh)
+set -e
+python3 cli/prepare_align.py --dataset LibriTTS
+python3 cli/preprocess.py --dataset LibriTTS

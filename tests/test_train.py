@@ -149,6 +149,45 @@ def test_loss_decreases_over_steps(train_setup):
     assert np.mean(losses[-3:]) < np.mean(losses[:3])
 
 
+def test_consistency_distillation_step(train_setup):
+    """CD: Heun step against a frozen teacher (reference
+    karras_diffusion.py:174-192)."""
+    cfg, model, tx, state, batch = train_setup
+    import dataclasses
+    cfg = dataclasses.replace(cfg, train=dataclasses.replace(
+        cfg.train, cm=dataclasses.replace(
+            cfg.train.cm, training_mode="consistency_distillation")))
+    teacher = jax.tree_util.tree_map(
+        lambda x: x + 0.01, state.params)  # a distinct frozen teacher
+    step = make_train_step(model, cfg, tx, num_scales=3, donate=False,
+                           teacher_params=teacher)
+    probs = jnp.asarray(create_schedule_sampler("uniform", 3).probs())
+    st2, metrics = step(state, batch, probs, jax.random.PRNGKey(3),
+                        jnp.asarray(0.95))
+    assert np.isfinite(float(metrics["loss"]))
+
+    # missing teacher must fail fast
+    with pytest.raises(ValueError, match="teacher_params"):
+        make_train_step(model, cfg, tx, num_scales=3, donate=False)
+
+
+def test_progdist_step(train_setup):
+    """Progressive distillation (reference karras_diffusion.py:299-390)."""
+    cfg, model, tx, state, batch = train_setup
+    import dataclasses
+    cfg = dataclasses.replace(cfg, train=dataclasses.replace(
+        cfg.train, cm=dataclasses.replace(
+            cfg.train.cm, training_mode="progdist")))
+    teacher = state.params
+    step = make_train_step(model, cfg, tx, num_scales=4, donate=False,
+                           teacher_params=teacher)
+    probs = jnp.asarray(create_schedule_sampler("uniform", 5).probs())
+    st2, metrics = step(state, batch, probs, jax.random.PRNGKey(4),
+                        jnp.asarray(1.0))
+    assert np.isfinite(float(metrics["loss"]))
+    assert (np.asarray(metrics["indices"]) < 4).all()
+
+
 def test_synthesize_step(train_setup):
     cfg, model, tx, state, batch = train_setup
     synth = make_synthesize_step(model, cfg)
