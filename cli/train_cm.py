@@ -81,8 +81,14 @@ def main():
     sampler = create_schedule_sampler(cm.schedule_sampler, sampler_scales)
     tx = make_optimizer(cm.lr, cm.weight_decay)
 
-    batches = batch_iterator(dataset, cfg.train.batch_size,
-                             cfg.train.group_size, seed=cm.seed)
+    from cmtts_tpu.data.native_loader import prefetch_iterator
+
+    # background-thread prefetch overlaps file IO/collation with device
+    # steps (the reference's DataLoader workers); the native C++ loader
+    # parallelizes the per-utterance npy reads inside each mega-batch
+    batches = prefetch_iterator(
+        lambda: batch_iterator(dataset, cfg.train.batch_size,
+                               cfg.train.group_size, seed=cm.seed))
     first = next(batches)
 
     rng = jax.random.PRNGKey(cm.seed)

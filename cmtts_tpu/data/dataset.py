@@ -66,6 +66,66 @@ class FeatureDataset:
         return np.load(os.path.join(
             self.root, kind, f"{speaker}-{kind}-{basename}.npy"))
 
+    def _feat_path(self, kind: str, idx: int) -> str:
+        return os.path.join(self.root, kind,
+                            f"{self.speaker[idx]}-{kind}-{self.basename[idx]}.npy")
+
+    _BULK_KINDS = ("mel", "pitch", "f0", "energy", "duration", "mel2ph")
+
+    def get_many(self, indices) -> list[dict]:
+        """Load several samples with the native parallel npy loader
+        (falls back to serial __getitem__)."""
+        from cmtts_tpu.data.native_loader import NativeNpyLoader, native_available
+
+        if not native_available():
+            return [self[i] for i in indices]
+        if not hasattr(self, "_native"):
+            self._native = NativeNpyLoader()
+        kinds = list(self._BULK_KINDS)
+        if self.pitch_type == "cwt":
+            kinds += ["cwt_spec", "f0cwt_mean_std"]
+        paths = [self._feat_path(k, i) for i in indices for k in kinds]
+        arrays = self._native.load(paths)
+        samples = []
+        for si, idx in enumerate(indices):
+            feats = dict(zip(kinds, arrays[si * len(kinds):(si + 1) * len(kinds)]))
+            samples.append(self._assemble(idx, feats))
+        return samples
+
+    def _assemble(self, idx: int, feats: dict) -> dict:
+        basename = self.basename[idx]
+        speaker = self.speaker[idx]
+        phone = np.asarray(
+            text_to_sequence(self.text[idx], self.cleaners), dtype=np.int32)
+        mel = feats["mel"].astype(np.float32)
+        if mel.shape[0] == self.cfg.stft.n_mel_channels and \
+                mel.shape[0] != mel.shape[1]:
+            mel = mel.T
+        f0, uv = norm_interp_f0(feats["f0"], self.cfg.pitch)
+        sample = {
+            "id": basename,
+            "speaker": self.speaker_map[speaker],
+            "text": phone,
+            "raw_text": self.raw_text[idx],
+            "mel": mel,
+            "pitch": feats["pitch"].astype(np.int32),
+            "f0": f0.astype(np.float32),
+            "uv": uv.astype(np.float32),
+            "energy": feats["energy"].astype(np.float32),
+            "duration": feats["duration"].astype(np.int32),
+            "mel2ph": feats["mel2ph"].astype(np.int32),
+        }
+        if self.pitch_type == "cwt":
+            sample["cwt_spec"] = feats["cwt_spec"].astype(np.float32)
+            ms = feats["f0cwt_mean_std"]
+            sample["f0_mean"] = float(ms[0])
+            sample["f0_std"] = float(ms[1])
+        if self.load_spker_embed:
+            sample["spker_embed"] = np.load(os.path.join(
+                self.root, "spker_embed", f"{speaker}-spker_embed.npy"
+            )).astype(np.float32).reshape(-1)
+        return sample
+
     def __getitem__(self, idx: int) -> dict:
         basename = self.basename[idx]
         speaker = self.speaker[idx]
@@ -174,7 +234,7 @@ def batch_iterator(
         order = rng.permutation(n) if shuffle else np.arange(n)
         for start in range(0, n - mega + 1, mega):
             chunk = order[start : start + mega]
-            samples = [dataset[i] for i in chunk]
+            samples = dataset.get_many(list(chunk))
             lens = np.asarray([len(s["text"]) for s in samples])
             sorted_idx = np.argsort(-lens)
             for g in range(group_size):

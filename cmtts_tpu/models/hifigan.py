@@ -93,7 +93,8 @@ class HiFiGANGenerator(nn.Module):
 
 
 def hifigan_apply_fused(params: dict, mel, cfg: HiFiGANConfig | None = None,
-                        mrf_pallas_max_c: int = 64, interpret: bool = False):
+                        mrf_pallas_max_c: int = 64, interpret: bool = False,
+                        pallas_dtype=jnp.float32):
     """Functional HiFi-GAN forward with Pallas fused-MRF stages.
 
     Same math and same param tree as ``HiFiGANGenerator`` — the
@@ -102,26 +103,36 @@ def hifigan_apply_fused(params: dict, mel, cfg: HiFiGANConfig | None = None,
     see cmtts_tpu.ops.mrf_pallas), which is HBM-traffic- not FLOP-bound
     under XLA.  Wider stages keep the flax path (their fused weights
     would not fit VMEM and XLA is compute-bound there anyway).
-    Compute dtype follows ``mel.dtype``.
+
+    Precision: everything runs in FLOAT32.  Measured on v5e: XLA's bf16
+    1-D convs are ~7x SLOWER than f32 (pathological lowering), and bf16
+    inside the Pallas stages is fast standalone but ~5x slower when
+    embedded in the full vocoder graph (Mosaic mixed-dtype interaction,
+    unresolved) — f32 Pallas is already 1.6x over the flax/XLA baseline.
+    ``pallas_dtype`` stays as a knob for future Mosaic versions.
     """
     from cmtts_tpu.ops.mrf_pallas import fused_mrf_stage, pack_mrf_params
 
     c = cfg or HiFiGANConfig()
-    dtype = mel.dtype
+    f32 = jnp.float32
+    params = jax.tree_util.tree_map(lambda v: v.astype(f32), params)
     x = nn.Conv(c.upsample_initial_channel, (7,), padding="SAME",
-                dtype=dtype).apply({"params": params["conv_pre"]}, mel)
+                dtype=f32).apply({"params": params["conv_pre"]},
+                                 mel.astype(f32))
     for i, (rate, kernel) in enumerate(
             zip(c.upsample_rates, c.upsample_kernel_sizes)):
         ch = c.upsample_initial_channel // (2 ** (i + 1))
         x = nn.leaky_relu(x, LRELU_SLOPE)
         x = nn.ConvTranspose(ch, (kernel,), strides=(rate,), padding="SAME",
-                             dtype=dtype).apply({"params": params[f"up_{i}"]}, x)
+                             dtype=f32).apply({"params": params[f"up_{i}"]}, x)
         if ch <= mrf_pallas_max_c:
             packed = pack_mrf_params(params, i, ch,
-                                     c.resblock_kernel_sizes, dtype)
-            x = fused_mrf_stage(x, packed, c.resblock_kernel_sizes,
+                                     c.resblock_kernel_sizes, pallas_dtype)
+            x = fused_mrf_stage(x, packed,
+                                c.resblock_kernel_sizes,
                                 c.resblock_dilation_sizes[0],
-                                interpret=interpret)
+                                interpret=interpret,
+                                compute_dtype=pallas_dtype)
         else:
             acc = None
             for j, (ks, ds) in enumerate(
@@ -132,7 +143,7 @@ def hifigan_apply_fused(params: dict, mel, cfg: HiFiGANConfig | None = None,
             x = acc / len(c.resblock_kernel_sizes)
     x = nn.leaky_relu(x, 0.01)
     x = nn.Conv(1, (7,), padding="SAME",
-                dtype=dtype).apply({"params": params["conv_post"]}, x)
+                dtype=f32).apply({"params": params["conv_post"]}, x)
     return jnp.tanh(x)[..., 0]
 
 

@@ -112,18 +112,24 @@ def _mrf_body(x, refs, kernel_sizes, dilations, C, W, dtype, mask):
 
 
 @functools.partial(jax.jit, static_argnames=("kernel_sizes", "dilations",
-                                             "tile", "interpret"))
+                                             "tile", "interpret",
+                                             "compute_dtype"))
 def fused_mrf_stage(x, stage_params_packed, kernel_sizes=(3, 7, 11),
                     dilations=(1, 3, 5), tile: int | None = None,
-                    interpret: bool = False):
+                    interpret: bool = False, compute_dtype=None):
     """Apply one fused MRF stage.
 
     x: (B, L, C) channels-last (the generator's layout).
     stage_params_packed: flat tuple from ``pack_mrf_params``.
-    Returns (B, L, C).
+    ``compute_dtype``: in-VMEM activation dtype (defaults to x.dtype).
+    Casting INSIDE the kernel keeps the XLA-side transpose/pad in the
+    input dtype — an f32->bf16 cast fused into the pre-kernel relayout
+    measured pathologically slow on v5e.
+    Returns (B, L, C) in x.dtype.
     """
     B, L, C = x.shape
     dtype = x.dtype
+    compute_dtype = compute_dtype or dtype
     H = _receptive_radius(kernel_sizes, dilations)
     H = int(math.ceil(H / 128) * 128)
     TILE = tile or default_tile(C)
@@ -152,10 +158,11 @@ def fused_mrf_stage(x, stage_params_packed, kernel_sizes=(3, 7, 11),
             dma.wait()
             # global padded coordinate of each local position
             pos = jax.lax.broadcasted_iota(jnp.int32, (1, W), 1) + t * TILE
-            mask = ((pos >= H) & (pos < H + L)).astype(dtype)
-            out = _mrf_body(x_vmem[:], weight_vals, kernel_sizes, dilations,
-                            C, W, dtype, mask)
-            out_ref[0] = out[:, H: H + TILE]
+            mask = ((pos >= H) & (pos < H + L)).astype(compute_dtype)
+            out = _mrf_body(x_vmem[:].astype(compute_dtype), weight_vals,
+                            kernel_sizes, dilations, C, W, compute_dtype,
+                            mask)
+            out_ref[0] = out[:, H: H + TILE].astype(dtype)
 
         pl.run_scoped(
             body,

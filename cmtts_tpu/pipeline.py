@@ -83,9 +83,6 @@ class Synthesizer:
                 cm_params = dict(cm_params)
                 cm_params["denoiser"] = jax.tree_util.tree_map(
                     lambda x: x.astype(cdt), cm_params["denoiser"])
-                if voc_params is not None:
-                    voc_params = jax.tree_util.tree_map(
-                        lambda x: x.astype(cdt), voc_params)
             cond_out = model.apply(
                 {"params": cm_params},
                 speakers=speakers, texts=texts, src_lens=src_lens,
@@ -116,7 +113,7 @@ class Synthesizer:
 
                 interpret = jax.default_backend() == "cpu"
                 wav = hifigan_apply_fused(
-                    voc_params, mel.astype(cdt), hifigan.cfg,
+                    voc_params, mel, hifigan.cfg,
                     interpret=interpret).astype(jnp.float32)
             else:
                 wav = None

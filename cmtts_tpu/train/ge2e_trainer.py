@@ -1,0 +1,157 @@
+"""GE2E speaker-encoder trainer (reference ``ge2e_encoder/train.py`` +
+``data_objects/``): sample S speakers x U partial utterances, minimize
+the GE2E softmax loss over the scaled similarity matrix.
+
+TPU-first: one jitted step (loss -> grad -> clip -> Adam), the
+similarity-parameter gradient scaling (x0.01) and global-norm clip 3
+from the reference ``do_gradient_ops`` (ge2e_encoder/model.py:33-39).
+"""
+
+from __future__ import annotations
+
+import os
+from dataclasses import dataclass
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from cmtts_tpu.models.speaker import (
+    GE2E_MEL_CHANNELS,
+    GE2E_PARTIAL_FRAMES,
+    GE2EEncoder,
+    ge2e_loss,
+    ge2e_mel_frames,
+)
+
+
+@dataclass
+class GE2ETrainConfig:
+    speakers_per_batch: int = 64          # params_model.py
+    utterances_per_speaker: int = 10
+    learning_rate: float = 1e-4
+    clip_norm: float = 3.0
+    sim_grad_scale: float = 0.01
+
+
+class SpeakerVerificationDataset:
+    """<root>/<speaker>/*.npy partial-frame files, each (160, 40).
+
+    ``prepare_from_wavs`` builds the cache from raw wav folders
+    (reference encoder_preprocess path)."""
+
+    def __init__(self, root: str):
+        self.root = root
+        self.speakers = sorted(
+            d for d in os.listdir(root) if os.path.isdir(os.path.join(root, d)))
+        self.files = {
+            s: sorted(f for f in os.listdir(os.path.join(root, s))
+                      if f.endswith(".npy"))
+            for s in self.speakers}
+        self.speakers = [s for s in self.speakers if len(self.files[s]) > 0]
+        if not self.speakers:
+            raise ValueError(f"no speaker partials under {root}")
+
+    @staticmethod
+    def prepare_from_wavs(wav_root: str, out_root: str, sr: int = 22050):
+        """Slice each <wav_root>/<speaker>/*.wav into 160-frame partials."""
+        from cmtts_tpu.audio.wavio import read_wav
+
+        n = 0
+        for spk in sorted(os.listdir(wav_root)):
+            sdir = os.path.join(wav_root, spk)
+            if not os.path.isdir(sdir):
+                continue
+            odir = os.path.join(out_root, spk)
+            os.makedirs(odir, exist_ok=True)
+            for name in sorted(os.listdir(sdir)):
+                if not name.endswith(".wav"):
+                    continue
+                wav, wav_sr = read_wav(os.path.join(sdir, name))
+                frames = ge2e_mel_frames(wav, wav_sr)
+                for i in range(0, len(frames) - GE2E_PARTIAL_FRAMES + 1,
+                               GE2E_PARTIAL_FRAMES // 2):
+                    part = frames[i: i + GE2E_PARTIAL_FRAMES]
+                    np.save(os.path.join(
+                        odir, f"{name[:-4]}_{i:06d}.npy"), part)
+                    n += 1
+        return n
+
+    def sample_batch(self, rng: np.random.RandomState, S: int, U: int):
+        """(S*U, 160, 40) batch; speakers drawn without replacement,
+        utterances with replacement when a speaker has < U partials."""
+        S = min(S, len(self.speakers))
+        spk_idx = rng.choice(len(self.speakers), S, replace=False)
+        mels = []
+        for si in spk_idx:
+            s = self.speakers[si]
+            files = self.files[s]
+            pick = rng.choice(len(files), U, replace=len(files) < U)
+            for fi in pick:
+                mels.append(np.load(os.path.join(self.root, s, files[fi])))
+        return np.stack(mels).astype(np.float32), S, U
+
+
+def make_ge2e_train_step(model: GE2EEncoder, tx: optax.GradientTransformation,
+                         S: int, U: int, cfg: GE2ETrainConfig):
+    def loss_fn(params, mels):
+        embeds = model.apply({"params": params["encoder"]}, mels)
+        embeds = embeds.reshape(S, U, -1)
+        return ge2e_loss(embeds, params["sim_weight"], params["sim_bias"])
+
+    def step(params, opt_state, mels):
+        loss, grads = jax.value_and_grad(loss_fn)(params, mels)
+        # reference do_gradient_ops: scale similarity grads, clip global norm
+        grads = dict(grads)
+        grads["sim_weight"] = grads["sim_weight"] * cfg.sim_grad_scale
+        grads["sim_bias"] = grads["sim_bias"] * cfg.sim_grad_scale
+        gnorm = optax.global_norm(grads)
+        scale = jnp.minimum(1.0, cfg.clip_norm / (gnorm + 1e-6))
+        grads = jax.tree_util.tree_map(lambda g: g * scale, grads)
+        updates, opt_state = tx.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        return params, opt_state, loss, gnorm
+
+    return jax.jit(step)
+
+
+def init_ge2e_train(seed: int = 0, lr: float = 1e-4):
+    model = GE2EEncoder()
+    enc_params = model.init(
+        jax.random.PRNGKey(seed),
+        jnp.zeros((1, GE2E_PARTIAL_FRAMES, GE2E_MEL_CHANNELS)))["params"]
+    params = {
+        "encoder": enc_params,
+        # fixed initial scaling (ge2e_encoder/model.py:27-28)
+        "sim_weight": jnp.asarray(10.0),
+        "sim_bias": jnp.asarray(-5.0),
+    }
+    tx = optax.adam(lr)
+    return model, params, tx, tx.init(params)
+
+
+def train_ge2e(data_root: str, out_dir: str, total_steps: int = 100,
+               cfg: GE2ETrainConfig | None = None, seed: int = 0,
+               log_every: int = 10):
+    """Compact training driver; returns final params."""
+    cfg = cfg or GE2ETrainConfig()
+    ds = SpeakerVerificationDataset(data_root)
+    S = min(cfg.speakers_per_batch, len(ds.speakers))
+    U = cfg.utterances_per_speaker
+    model, params, tx, opt_state = init_ge2e_train(seed, cfg.learning_rate)
+    step_fn = make_ge2e_train_step(model, tx, S, U, cfg)
+    rng = np.random.RandomState(seed)
+    for step in range(1, total_steps + 1):
+        mels, S_, U_ = ds.sample_batch(rng, S, U)
+        params, opt_state, loss, gnorm = step_fn(params, opt_state,
+                                                 jnp.asarray(mels))
+        if step % log_every == 0 or step == total_steps:
+            print(f"ge2e step {step}: loss={float(loss):.4f} "
+                  f"gnorm={float(gnorm):.3f}", flush=True)
+    if out_dir:
+        os.makedirs(out_dir, exist_ok=True)
+        flat = jax.tree_util.tree_map(np.asarray, params)
+        np.save(os.path.join(out_dir, "ge2e_params.npy"),
+                np.asarray([flat], dtype=object), allow_pickle=True)
+    return params
