@@ -32,6 +32,9 @@ def main():
     parser.add_argument("--total_step", type=int, default=None,
                         help="override total training steps (smoke runs)")
     parser.add_argument("--log_every", type=int, default=None)
+    parser.add_argument("--profile_dir", type=str, default=None,
+                        help="capture a jax.profiler trace of steps 3-8 "
+                             "into this directory (view with tensorboard)")
     args = parser.parse_args()
 
     import jax
@@ -159,6 +162,15 @@ def main():
             sampler = create_schedule_sampler(
                 cm.schedule_sampler,
                 num_scales + (1 if args.model == "progdist" else 0))
+
+        if args.profile_dir:
+            # trace a few steady-state steps (reference profile_kv scopes,
+            # logger.py:292-316 — here the real deal: XLA op-level trace)
+            if step == step0 + 3:
+                jax.profiler.start_trace(args.profile_dir)
+            elif step == step0 + 8:
+                jax.profiler.stop_trace()
+                print(f"==> profiler trace written to {args.profile_dir}")
 
         clean = {k: v for k, v in batch.items() if k not in ("ids", "raw_texts")}
         sharded = shard_batch(clean, mesh)

@@ -27,7 +27,8 @@ class Cal:
     def __init__(self, syn_folder: str, data_type: str = "VCTK",
                  raw_folder: str = "", sampling_rate: int = SR,
                  speaker_embedder=None, transcriber=None,
-                 text_lookup=None, max_pairs: int | None = None):
+                 text_lookup=None, max_pairs: int | None = None,
+                 mos_ckpt: str | None = None):
         self.syn_folder = syn_folder
         self.raw_folder = raw_folder
         self.data_type = data_type
@@ -35,6 +36,8 @@ class Cal:
         self.speaker_embedder = speaker_embedder
         self.transcriber = transcriber
         self.text_lookup = text_lookup or {}
+        self.mos_ckpt = mos_ckpt
+        self._mos_tool = None
         self.syn2label = self._init_file_match()
         if max_pairs:
             self.syn2label = dict(list(self.syn2label.items())[:max_pairs])
@@ -182,6 +185,31 @@ class Cal:
         return float(np.mean(vals))
 
     compute_wer_un_comma = compute_wer
+
+    # -- predicted MOS (all_metrics.py:506-532) ------------------------------
+    def _mos(self):
+        if self._mos_tool is None:
+            from cmtts_tpu.metrics.mos import MOSCal
+
+            self._mos_tool = MOSCal(sample_rate=self.sr,
+                                    mb_ckpt=self.mos_ckpt)
+        return self._mos_tool
+
+    def compute_mb_mos(self):
+        tool = self._mos()
+        return float(np.mean([tool.get_mb_mos(self._wav(s))
+                              for s in self.syn2label]))
+
+    def compute_ld_mos(self):
+        tool = self._mos()
+        return float(np.mean([tool.get_ld_mos(self._wav(s))
+                              for s in self.syn2label]))
+
+    def get_target_mos(self, mos_type: str = "mb"):
+        tool = self._mos()
+        fn = tool.get_mb_mos if mos_type == "mb" else tool.get_ld_mos
+        return float(np.mean([fn(self._wav(r))
+                              for r in self.syn2label.values()]))
 
     # -- list dispatch (all_metrics.py:735-739) ------------------------------
     def get_metrics_by_list(self, names: list[str]) -> list[float]:

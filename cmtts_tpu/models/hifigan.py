@@ -209,6 +209,14 @@ def load_hifigan_params(path: str | None, cfg=None):
     reference snapshot, .MISSING_LARGE_BLOBS)."""
     import numpy as np
 
+    if cfg is not None and getattr(cfg.model, "vocoder_model", "HiFi-GAN") \
+            not in ("HiFi-GAN", "hifigan"):
+        # the reference's MelGAN alternative is pulled from torch.hub at
+        # runtime (utils/model.py:159-169) — no checkpoint in the snapshot
+        # and no network egress here
+        raise NotImplementedError(
+            f"vocoder '{cfg.model.vocoder_model}' not supported: MelGAN "
+            "depends on a torch.hub download; use HiFi-GAN")
     hcfg = HiFiGANConfig() if cfg is None else HiFiGANConfig(
         num_mels=cfg.stft.n_mel_channels, sampling_rate=cfg.stft.sampling_rate)
     if path and path.endswith(".npz"):
