@@ -81,7 +81,10 @@ def main():
     parser.add_argument("--energy_control", type=float, default=1.0)
     parser.add_argument("--duration_control", type=float, default=1.0)
     parser.add_argument("--batch_size", type=int, default=8)
-    parser.add_argument("--teacher_forced", action="store_true")
+    parser.add_argument("--params_role", type=str, default="model",
+                        help="which checkpoint role to synthesize from: "
+                             "model | target_model | ema_0/1/2 (the "
+                             "reference keeps these as separate .pt files)")
     args = parser.parse_args()
 
     import jax
@@ -95,7 +98,10 @@ def main():
 
     cfg = load_configs(args.dataset, args.config_root)
     payload = restore_checkpoint(cfg.train.ckpt_path, args.restore_step or None)
-    params = payload["model"]
+    if args.params_role not in payload:
+        raise SystemExit(f"role {args.params_role!r} not in checkpoint "
+                         f"(roles: {sorted(payload)})")
+    params = payload[args.params_role]
     voc_params = load_hifigan_params(args.vocoder_ckpt, cfg)
 
     synth = Synthesizer(cfg, params, voc_params, T=args.T)

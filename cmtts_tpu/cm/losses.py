@@ -331,3 +331,13 @@ def masked_mel_l1(mel_pred, mel_target, mel_lens, max_len: int):
     w = (jnp.abs(mel_target).sum(-1, keepdims=True) != 0).astype(jnp.float32)
     w = jnp.broadcast_to(w, mel_target.shape)
     return (jnp.abs(mel_pred - mel_target) * w).sum() / jnp.maximum(w.sum(), 1.0)
+
+
+def masked_mel_l2(mel_pred, mel_target, mel_lens, max_len: int):
+    """Masked mel MSE (reference MelLossL2, model/loss.py:95-149)."""
+    mask = (jnp.arange(max_len)[None, :] < mel_lens[:, None]).astype(jnp.float32)
+    mel_pred = mel_pred * mask[..., None]
+    mel_target = mel_target * mask[..., None]
+    w = (jnp.abs(mel_target).sum(-1, keepdims=True) != 0).astype(jnp.float32)
+    w = jnp.broadcast_to(w, mel_target.shape)
+    return (((mel_pred - mel_target) ** 2) * w).sum() / jnp.maximum(w.sum(), 1.0)

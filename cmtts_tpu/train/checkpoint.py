@@ -88,10 +88,18 @@ def state_from_payload(payload: dict, tx, n_ema: int) -> CMTrainState:
 
     from cmtts_tpu.train.state import CMTrainState
 
+    # orbax restores optax NamedTuple states as plain dicts; rebuild the
+    # optimizer-state structure against a freshly initialized template
+    # (field order == alphabetical key order for optax's states)
+    target = tx.init(payload["model"])
+    opt_state = jax.tree_util.tree_unflatten(
+        jax.tree_util.tree_structure(target),
+        jax.tree_util.tree_leaves(payload["opt"]))
+
     return CMTrainState(
         step=jnp.asarray(payload["step"], jnp.int32),
         params=payload["model"],
-        opt_state=payload["opt"],
+        opt_state=opt_state,
         ema_params=tuple(payload[f"ema_{i}"] for i in range(n_ema)),
         target_params=payload["target_model"],
     )

@@ -67,7 +67,7 @@ def make_apply_fn(model: CMTTS) -> Callable:
 
 def make_train_step(model: CMTTS, cfg: Config, tx: optax.GradientTransformation,
                     num_scales: int, donate: bool = True,
-                    teacher_params=None):
+                    teacher_params=None, remat: bool = False):
     """Build the jitted train step.
 
     Signature: (state, batch, probs, rng, target_ema) ->
@@ -79,10 +79,19 @@ def make_train_step(model: CMTTS, cfg: Config, tx: optax.GradientTransformation,
     DISTILLATION (Heun step against the teacher's denoiser); with
     ``training_mode: progdist`` the progressive-distillation loss is
     used instead (reference train_util.py:802-879 loss dispatch).
+
+    ``remat=True`` rematerializes the forward under ``jax.checkpoint`` —
+    the TPU-idiomatic replacement for the reference's per-module
+    CheckpointFunction (cm_tool/nn.py:142-188): trade FLOPs for HBM so
+    bigger mel buckets / batches fit.
     """
     sched = schedule_from_config(cfg)
     sil_ids = tuple(sil_phonemes_ids())
     apply_fn = make_apply_fn(model)
+    if remat:
+        apply_fn = jax.checkpoint(
+            apply_fn, static_argnums=(5,),
+            policy=jax.checkpoint_policies.dots_saveable)
     ema_rates = cfg.train.cm.ema_rate
     training_mode = cfg.train.cm.training_mode
     if training_mode in ("consistency_distillation", "progdist") and \

@@ -38,6 +38,27 @@ def test_shard_batch_and_pad():
     assert batch2["a"].shape == (8, 4)
 
 
+def test_lsm_update_from_sharded_outputs():
+    """The LSM sampler must see the GLOBAL per-sample losses under DP
+    (reference syncs with all_gather, resample.py:117-153; here the jit
+    outputs are globally addressable and the host update is identical
+    sharded or not)."""
+    from cmtts_tpu.train.resample import LossSecondMomentSampler
+
+    mesh = make_mesh()
+    losses = np.arange(8, dtype=np.float32) + 1.0
+    indices = np.array([0, 1, 0, 1, 0, 1, 0, 1])
+    sharded_losses = jax.device_put(losses, data_sharding(mesh))
+    sharded_idx = jax.device_put(indices, data_sharding(mesh))
+
+    s_local = LossSecondMomentSampler(3, history_per_term=4)
+    s_shard = LossSecondMomentSampler(3, history_per_term=4)
+    s_local.update(indices, losses)
+    s_shard.update(np.asarray(sharded_idx), np.asarray(sharded_losses))
+    np.testing.assert_array_equal(s_local._history, s_shard._history)
+    np.testing.assert_array_equal(s_local._counts, s_shard._counts)
+
+
 @pytest.mark.slow
 def test_dp_train_step_matches_single_device():
     """The sharded train step must produce the same loss/params as the

@@ -188,6 +188,22 @@ def test_progdist_step(train_setup):
     assert (np.asarray(metrics["indices"]) < 4).all()
 
 
+def test_remat_train_step_matches(train_setup):
+    """jax.checkpoint rematerialization must not change the math."""
+    cfg, model, tx, state, batch = train_setup
+    probs = jnp.asarray(create_schedule_sampler("uniform", 3).probs())
+    rng = jax.random.PRNGKey(11)
+    base = make_train_step(model, cfg, tx, num_scales=3, donate=False)
+    rem = make_train_step(model, cfg, tx, num_scales=3, donate=False,
+                          remat=True)
+    _, m1 = base(state, batch, probs, rng, jnp.asarray(0.95))
+    _, m2 = rem(state, batch, probs, rng, jnp.asarray(0.95))
+    np.testing.assert_allclose(float(m1["loss"]), float(m2["loss"]),
+                               rtol=1e-5)
+    np.testing.assert_allclose(float(m1["grad_norm"]), float(m2["grad_norm"]),
+                               rtol=1e-4)
+
+
 def test_synthesize_step(train_setup):
     cfg, model, tx, state, batch = train_setup
     synth = make_synthesize_step(model, cfg)
