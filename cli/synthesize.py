@@ -81,6 +81,9 @@ def main():
     parser.add_argument("--energy_control", type=float, default=1.0)
     parser.add_argument("--duration_control", type=float, default=1.0)
     parser.add_argument("--batch_size", type=int, default=8)
+    parser.add_argument("--save_plots", action="store_true",
+                        help="write a mel png per utterance (reference "
+                             "synth_samples, utils/tools.py:582-592)")
     parser.add_argument("--params_role", type=str, default="model",
                         help="which checkpoint role to synthesize from: "
                              "model | target_model | ema_0/1/2 (the "
@@ -121,6 +124,12 @@ def main():
         for i, basename in enumerate(ids):
             np.save(os.path.join(out_dir, f"{basename}-mel.npy"),
                     mel[i, : int(mel_lens[i])])
+            if args.save_plots:
+                from cmtts_tpu.utils_plot import plot_mel
+
+                plot_mel(mel[i, : int(mel_lens[i])],
+                         os.path.join(out_dir, f"{basename}.png"),
+                         title=basename)
         print(f"synthesized {len(ids)} -> {out_dir}")
 
     if args.mode == "batch":

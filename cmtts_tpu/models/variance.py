@@ -161,6 +161,8 @@ class VarianceAdaptor(nn.Module):
                     nn.Dense(2),
                 ])
             else:
+                # "frame" predicts f0[,uv] per mel frame; "ph" predicts one
+                # f0 per phoneme, gathered to frames via mel2ph
                 odim = 2 if self.pitch_cfg.pitch_type == "frame" else 1
                 self.pitch_predictor = VariancePredictor(self.vp, odim=odim, name="pitch_predictor")
             self.pitch_embed = nn.Embed(
@@ -237,6 +239,36 @@ class VarianceAdaptor(nn.Module):
         }
         return pred, embed
 
+    def _pitch_ph(self, encoder_out, mel2ph, p_targets, control,
+                  deterministic):
+        """Phoneme-level pitch (reference get_pitch_embedding 'ph' branch,
+        modules.py:261-274): predict per-phoneme f0 on the pre-LR states,
+        bucketize, gather the COARSE ids through mel2ph."""
+        pc = self.pitch_cfg
+        x_in = grad_scale(encoder_out, self.vp.predictor_grad)
+        pad = jnp.zeros(encoder_out.shape[:2], dtype=bool)
+        pitch_pred = self.pitch_predictor(x_in, pad, deterministic) * control
+        if p_targets is not None and p_targets.get("f0") is not None:
+            f0 = p_targets["f0"]          # phoneme-level targets
+        else:
+            f0 = pitch_pred[..., 0]
+        f0_denorm = denorm_f0_jnp(f0, None, pc.pitch_norm, pc.f0_mean,
+                                  pc.f0_std, use_uv=False)
+        coarse = f0_to_coarse_jnp(f0_denorm)             # (B, T_txt)
+        B = coarse.shape[0]
+        padded = jnp.concatenate(
+            [jnp.zeros((B, 1), coarse.dtype), coarse], axis=1)
+        coarse_mel = jnp.take_along_axis(padded, mel2ph, axis=1)  # (B, T_mel)
+        embed = self.pitch_embed(coarse_mel)
+        pred = {
+            "pitch_pred": pitch_pred,
+            "f0_denorm": f0_denorm,
+            "cwt": None,
+            "f0_mean": None,
+            "f0_std": None,
+        }
+        return pred, embed
+
     def _pitch_frame(self, x_mel, mel2ph, p_targets, control, deterministic):
         pc = self.pitch_cfg
         x_in = grad_scale(x_mel, self.vp.predictor_grad)
@@ -310,6 +342,9 @@ class VarianceAdaptor(nn.Module):
             if self.pitch_cfg.pitch_type == "cwt":
                 p_pred, p_embed = self._pitch_cwt(
                     x_mel, encoder_out, mel2ph, p_targets, p_control, deterministic)
+            elif self.pitch_cfg.pitch_type == "ph":
+                p_pred, p_embed = self._pitch_ph(
+                    encoder_out, mel2ph, p_targets, p_control, deterministic)
             else:
                 p_pred, p_embed = self._pitch_frame(
                     x_mel, mel2ph, p_targets, p_control, deterministic)

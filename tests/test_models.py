@@ -158,3 +158,30 @@ def test_multi_speaker_table():
         deterministic=True,
     )
     assert "speaker_emb" in variables["params"]
+
+
+def test_ph_pitch_type_forward():
+    """Phoneme-level pitch branch (reference modules.py:261-274)."""
+    import jax
+    import jax.numpy as jnp
+
+    from cmtts_tpu.models.cmtts import CMTTS
+    from helpers import tiny_config
+
+    cfg = tiny_config(pitch_type="ph")
+    model = CMTTS(cfg)
+    B, T_txt, T_mel = 2, 6, 18
+    rng = jax.random.PRNGKey(0)
+    texts = jnp.ones((B, T_txt), jnp.int32) * 5
+    src_lens = jnp.full((B,), T_txt, jnp.int32)
+    variables = model.init(
+        {"params": rng, "dropout": rng},
+        speakers=jnp.zeros(B, jnp.int32), texts=texts, src_lens=src_lens,
+        t_mel=T_mel, deterministic=True, method=CMTTS.condition)
+    out = model.apply(
+        {"params": variables["params"]},
+        speakers=jnp.zeros(B, jnp.int32), texts=texts, src_lens=src_lens,
+        t_mel=T_mel, deterministic=True, method=CMTTS.condition)
+    assert out["cond"].shape == (B, T_mel, cfg.model.transformer.encoder_hidden)
+    assert out["p_pred"]["pitch_pred"].shape == (B, T_txt, 1)
+    assert out["p_pred"]["cwt"] is None
