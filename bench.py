@@ -108,26 +108,33 @@ def timed_rtf(T: int, n_iters: int = 20):
 def main():
     import jax
 
+    t_start = time.perf_counter()
     rtf1, fps1, audio_sec = timed_rtf(1)
-    rtf2, fps2, _ = timed_rtf(2)
-    rtf4, fps4, _ = timed_rtf(4)
+    extra = {
+        "mel_frames_per_sec_per_chip_T1": fps1,
+        "batch": 8,
+        "audio_sec_per_iter": audio_sec,
+        "compute_dtype": "bf16 denoiser / f32 vocoder",
+        "device": str(jax.devices()[0]),
+    }
+    # T=2/T=4 extras only if the T=1 pass left budget (each costs a fresh
+    # multi-minute compile through the dev tunnel)
+    budget_s = float(__import__("os").environ.get("BENCH_BUDGET_S", "900"))
+    if time.perf_counter() - t_start < budget_s / 3:
+        rtf2, fps2, _ = timed_rtf(2, n_iters=8)
+        extra["rtf_T2"] = rtf2
+        extra["mel_frames_per_sec_per_chip_T2"] = fps2
+    if time.perf_counter() - t_start < 2 * budget_s / 3:
+        rtf4, fps4, _ = timed_rtf(4, n_iters=8)
+        extra["rtf_T4"] = rtf4
+        extra["mel_frames_per_sec_per_chip_T4"] = fps4
 
     print(json.dumps({
         "metric": "rtf_T1",
         "value": rtf1,
         "unit": "wallclock/audio_sec",
         "vs_baseline": 0.01 / rtf1,
-        "extra": {
-            "rtf_T2": rtf2,
-            "rtf_T4": rtf4,
-            "mel_frames_per_sec_per_chip_T1": fps1,
-            "mel_frames_per_sec_per_chip_T2": fps2,
-            "mel_frames_per_sec_per_chip_T4": fps4,
-            "batch": 8,
-            "audio_sec_per_iter": audio_sec,
-            "compute_dtype": "bfloat16",
-            "device": str(jax.devices()[0]),
-        },
+        "extra": extra,
     }))
 
 
