@@ -44,8 +44,21 @@ class Synthesizer:
         text_buckets: Sequence[int] = DEFAULT_TEXT_BUCKETS,
         mel_buckets: Sequence[int] = DEFAULT_MEL_BUCKETS,
         compute_dtype=jnp.bfloat16,
+        mesh=None,
     ):
+        """``mesh``: optional ``jax.sharding.Mesh`` — batch inputs are
+        sharded over its 'data' axis and params replicated, so one call
+        serves a multi-chip slice (XLA partitions the whole fused graph;
+        batch must divide the device count)."""
         self.cfg = cfg
+        self.mesh = mesh
+        if mesh is not None:
+            from cmtts_tpu.parallel.sharding import replicated
+
+            cm_params = jax.device_put(cm_params, replicated(mesh))
+            if vocoder_params is not None:
+                vocoder_params = jax.device_put(vocoder_params,
+                                                replicated(mesh))
         self.model = CMTTS(cfg)
         self.hifigan = HiFiGANGenerator(HiFiGANConfig(
             num_mels=cfg.stft.n_mel_channels,
@@ -164,10 +177,22 @@ class Synthesizer:
 
         vocode = self.vocoder_params is not None
         fn = self._get(mel_bucket, vocode)
+        if self.mesh is not None:
+            from cmtts_tpu.parallel.sharding import data_sharding
+
+            ds = data_sharding(self.mesh)
+            put = lambda x: jax.device_put(jnp.asarray(x), ds)  # noqa: E731
+            speakers, texts, src_lens, spker_embeds = (
+                put(speakers), put(texts), put(src_lens), put(spker_embeds))
+        else:
+            speakers = jnp.asarray(speakers)
+            texts = jnp.asarray(texts)
+            src_lens = jnp.asarray(src_lens)
+            spker_embeds = jnp.asarray(spker_embeds)
         mel, mel_lens, wav = fn(
             self.cm_params, self.vocoder_params,
-            jnp.asarray(speakers), jnp.asarray(texts), jnp.asarray(src_lens),
-            jnp.asarray(spker_embeds), jax.random.PRNGKey(seed),
+            speakers, texts, src_lens,
+            spker_embeds, jax.random.PRNGKey(seed),
             d_control, p_control, e_control)
         return (np.asarray(mel), np.asarray(mel_lens),
                 None if wav is None else np.asarray(wav))
