@@ -56,8 +56,10 @@ def _lrelu(x):
 
 
 def default_tile(C: int) -> int:
-    """Length-tile keeping all per-tile buffers within VMEM."""
-    return {512: 1024, 256: 2048, 128: 2048, 64: 2048}.get(C, 4096)
+    """Length-tile keeping all per-tile buffers within VMEM (with margin:
+    Mosaic's scoped-vmem stack for the patch matmuls runs ~2x the naive
+    buffer estimate at higher matmul precisions)."""
+    return {512: 1024, 256: 2048, 128: 2048, 64: 2048}.get(C, 2048)
 
 
 def _shift(h, off, C, W):
