@@ -120,14 +120,14 @@ def main():
     # T=2/T=4 extras only if the T=1 pass left budget (each costs a fresh
     # multi-minute compile through the dev tunnel)
     budget_s = float(__import__("os").environ.get("BENCH_BUDGET_S", "900"))
-    if time.perf_counter() - t_start < budget_s / 3:
+    if time.perf_counter() - t_start < budget_s / 2:
         rtf2, fps2, _ = timed_rtf(2, n_iters=8)
         extra["rtf_T2"] = rtf2
         extra["mel_frames_per_sec_per_chip_T2"] = fps2
-    if time.perf_counter() - t_start < 2 * budget_s / 3:
-        rtf4, fps4, _ = timed_rtf(4, n_iters=8)
-        extra["rtf_T4"] = rtf4
-        extra["mel_frames_per_sec_per_chip_T4"] = fps4
+        if time.perf_counter() - t_start < 3 * budget_s / 4:
+            rtf4, fps4, _ = timed_rtf(4, n_iters=8)
+            extra["rtf_T4"] = rtf4
+            extra["mel_frames_per_sec_per_chip_T4"] = fps4
 
     print(json.dumps({
         "metric": "rtf_T1",
