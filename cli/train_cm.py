@@ -43,7 +43,8 @@ def main():
     from cmtts_tpu.core.config import load_configs
     from cmtts_tpu.data.dataset import FeatureDataset, batch_iterator
     from cmtts_tpu.models.cmtts import CMTTS
-    from cmtts_tpu.parallel.sharding import make_mesh, replicate_state, shard_batch
+    from cmtts_tpu.parallel.sharding import (
+        make_mesh, pad_batch_to_multiple, replicate_state, shard_batch)
     from cmtts_tpu.train import kvlogger
     from cmtts_tpu.train.checkpoint import (
         restore_checkpoint, save_checkpoint, state_from_payload)
@@ -173,6 +174,11 @@ def main():
                 print(f"==> profiler trace written to {args.profile_dir}")
 
         clean = {k: v for k, v in batch.items() if k not in ("ids", "raw_texts")}
+        if mesh.devices.size > 1:
+            # a sharded batch must divide the device count (pods); pad by
+            # repeating the last sample — loss weighting is per-sample so
+            # duplicates only slightly re-weight the step
+            clean, _orig = pad_batch_to_multiple(clean, mesh.devices.size)
         sharded = shard_batch(clean, mesh)
         rng, sub = jax.random.split(rng)
         probs = jnp.asarray(sampler.probs())
