@@ -44,7 +44,8 @@ def main():
     from cmtts_tpu.data.dataset import FeatureDataset, batch_iterator
     from cmtts_tpu.models.cmtts import CMTTS
     from cmtts_tpu.parallel.sharding import (
-        make_mesh, pad_batch_to_multiple, replicate_state, shard_batch)
+        gather_per_sample, make_mesh, pad_batch_to_multiple, replicate_state,
+        shard_batch)
     from cmtts_tpu.train import kvlogger
     from cmtts_tpu.train.checkpoint import (
         restore_checkpoint, save_checkpoint, state_from_payload)
@@ -186,8 +187,10 @@ def main():
                                     jnp.asarray(target_ema))
 
         if sampler.needs_update:
-            sampler.update(np.asarray(metrics["indices"]),
-                           np.asarray(metrics["loss_per_sample"]))
+            # globally sharded per-sample outputs -> full global value on
+            # every host (reference resample.py:117-153 all_gather)
+            sampler.update(gather_per_sample(metrics["indices"]),
+                           gather_per_sample(metrics["loss_per_sample"]))
 
         if step % log_step == 0:
             m = {k: float(np.asarray(v)) for k, v in metrics.items()

@@ -84,3 +84,25 @@ def pad_batch_to_multiple(batch: dict, multiple: int) -> tuple[dict, int]:
         return x
 
     return jax.tree_util.tree_map(pad, batch), B
+
+
+def gather_per_sample(x: Any, force_allgather: bool = False) -> np.ndarray:
+    """Fetch a per-sample device array to host numpy across ALL processes.
+
+    The LSM sampler's loss history must see every sample in the global
+    batch (reference resample.py:117-153 all_gathers local losses across
+    ranks).  Under multi-process JAX the per-sample train-step outputs
+    ('indices', 'loss_per_sample') are globally sharded and NOT fully
+    addressable from one host — ``np.asarray`` on them raises.  Route
+    them through ``process_allgather``, which returns the full global
+    value on every host; single-process arrays take the plain
+    ``device_get`` path.
+
+    ``force_allgather`` exists for single-controller tests of the
+    multihost branch.
+    """
+    if force_allgather or jax.process_count() > 1:
+        from jax.experimental import multihost_utils
+
+        return np.asarray(multihost_utils.process_allgather(x, tiled=True))
+    return np.asarray(jax.device_get(x))

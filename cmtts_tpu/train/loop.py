@@ -67,7 +67,8 @@ def make_apply_fn(model: CMTTS) -> Callable:
 
 def make_train_step(model: CMTTS, cfg: Config, tx: optax.GradientTransformation,
                     num_scales: int, donate: bool = True,
-                    teacher_params=None, remat: bool = False):
+                    teacher_params=None, remat: bool = False,
+                    microbatch: int | None = None):
     """Build the jitted train step.
 
     Signature: (state, batch, probs, rng, target_ema) ->
@@ -84,6 +85,19 @@ def make_train_step(model: CMTTS, cfg: Config, tx: optax.GradientTransformation,
     the TPU-idiomatic replacement for the reference's per-module
     CheckpointFunction (cm_tool/nn.py:142-188): trade FLOPs for HBM so
     bigger mel buckets / batches fit.
+
+    ``microbatch`` (default: ``cfg.train.cm.microbatch``; <=0 disables)
+    accumulates gradients over ``B // microbatch`` slices via
+    ``lax.scan`` — the TPU-idiomatic replacement for the reference's
+    DDP ``no_sync`` microbatching (train_util.py:805-879, SURVEY §2.8).
+    Accumulated grads equal the full-batch grads (mean of equal-sized
+    microbatch means) exactly when per-sample losses are independent;
+    batch-level masked means (variance losses over ragged lengths)
+    renormalize per microbatch — the same semantics as the reference's
+    per-microbatch masked means under DDP no_sync.  Slices are
+    interleaved (``batch[i::k]``) so that under a batch-sharded mesh
+    every device contributes equally to every microbatch (no
+    cross-device resharding in the scan).
     """
     sched = schedule_from_config(cfg)
     sil_ids = tuple(sil_phonemes_ids())
@@ -97,6 +111,36 @@ def make_train_step(model: CMTTS, cfg: Config, tx: optax.GradientTransformation,
     if training_mode in ("consistency_distillation", "progdist") and \
             teacher_params is None:
         raise ValueError(f"{training_mode} requires teacher_params")
+    if microbatch is None:
+        microbatch = cfg.train.cm.microbatch
+
+    def micro_loss(params, target_params, mb):
+        """Loss over one microbatch pytree {x_start, noise, indices,
+        weights, batch}; returns (scalar loss, (per-sample total, aux))."""
+        b = mb["batch"]
+        teacher_denoise = None
+        if teacher_params is not None:
+            denoise = make_denoise_fn(apply_fn, sched)
+
+            def teacher_denoise(x_t, sigma):
+                out, _ = denoise(teacher_params, x_t, sigma, b,
+                                 mb["rng_drop"], True)
+                return jax.lax.stop_gradient(out)
+
+        if training_mode == "progdist":
+            total, aux = progdist_loss(
+                apply_fn, params, teacher_denoise, mb["x_start"], mb["noise"],
+                mb["indices"], num_scales, b, cfg, sched, sil_ids,
+                mb["rng_drop"])
+        else:
+            total, aux = consistency_loss(
+                apply_fn, params, target_params, mb["x_start"], mb["noise"],
+                mb["indices"], num_scales, b, cfg, sched, sil_ids,
+                mb["rng_drop"], teacher_denoise=teacher_denoise)
+        loss = (total * mb["weights"]).mean()
+        return loss, (total, aux)
+
+    grad_fn = jax.value_and_grad(micro_loss, has_aux=True)
 
     def step_fn(state: CMTrainState, batch: dict, probs: jnp.ndarray,
                 rng: jnp.ndarray, target_ema: jnp.ndarray):
@@ -110,30 +154,53 @@ def make_train_step(model: CMTTS, cfg: Config, tx: optax.GradientTransformation,
         weights = 1.0 / (probs.shape[0] * probs[indices])
         noise = jax.random.normal(rng_noise, x_start.shape, x_start.dtype)
 
-        teacher_denoise = None
-        if teacher_params is not None:
-            denoise = make_denoise_fn(apply_fn, sched)
+        data = {"x_start": x_start, "noise": noise, "indices": indices,
+                "weights": weights, "batch": batch, "rng_drop": rng_drop}
 
-            def teacher_denoise(x_t, sigma):
-                out, _ = denoise(teacher_params, x_t, sigma, batch, rng_drop,
-                                 True)
-                return jax.lax.stop_gradient(out)
+        if 0 < microbatch < B:
+            if B % microbatch != 0:
+                raise ValueError(
+                    f"batch size {B} not divisible by microbatch {microbatch}")
+            k = B // microbatch
+        else:
+            k = 1
+        if k <= 1:
+            (loss, (total, aux)), grads = grad_fn(
+                state.params, state.target_params, data)
+        else:
+            def to_micro(x):
+                # (B, ...) -> (k, B//k, ...) with microbatch i = x[i::k]
+                return jnp.moveaxis(
+                    x.reshape((B // k, k) + x.shape[1:]), 1, 0)
 
-        def loss_fn(params):
-            if training_mode == "progdist":
-                total, aux = progdist_loss(
-                    apply_fn, params, teacher_denoise, x_start, noise,
-                    indices, num_scales, batch, cfg, sched, sil_ids, rng_drop)
-            else:
-                total, aux = consistency_loss(
-                    apply_fn, params, state.target_params, x_start, noise,
-                    indices, num_scales, batch, cfg, sched, sil_ids, rng_drop,
-                    teacher_denoise=teacher_denoise)
-            loss = (total * weights).mean()
-            return loss, (total, aux)
+            mb_data = jax.tree.map(to_micro, {key: data[key] for key in
+                                              ("x_start", "noise", "indices",
+                                               "weights", "batch")})
+            mb_data["rng_drop"] = jax.random.split(rng_drop, k)
 
-        (loss, (total, aux)), grads = jax.value_and_grad(
-            loss_fn, has_aux=True)(state.params)
+            def body(carry, mb):
+                g_acc, loss_acc = carry
+                (mb_loss, (mb_total, mb_aux)), g = grad_fn(
+                    state.params, state.target_params, mb)
+                g_acc = jax.tree.map(jnp.add, g_acc, g)
+                return (g_acc, loss_acc + mb_loss), (mb_total, mb_aux)
+
+            zeros = jax.tree.map(jnp.zeros_like, state.params)
+            (g_sum, loss_sum), (total_st, aux_st) = jax.lax.scan(
+                body, (zeros, jnp.zeros(())), mb_data)
+            grads = jax.tree.map(lambda g: g / k, g_sum)
+            loss = loss_sum / k
+            mb_sz = B // k
+
+            def restore(a):
+                # per-sample (k, mb, ...) -> original order (B, ...);
+                # scalars (k,) -> mean over microbatches
+                if a.ndim >= 2 and a.shape[1] == mb_sz:
+                    return jnp.moveaxis(a, 0, 1).reshape((B,) + a.shape[2:])
+                return a.mean(0)
+
+            total = restore(total_st)
+            aux = jax.tree.map(restore, aux_st)
 
         updates, opt_state = tx.update(grads, state.opt_state, state.params)
         params = optax.apply_updates(state.params, updates)

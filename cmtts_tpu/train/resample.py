@@ -12,7 +12,9 @@ Cross-host synchronization of the LSM history (reference
 ``resample.py:117-153`` all_gather) is handled by updating from the
 *globally addressable* per-sample loss vector under single-controller
 jit; under multi-process JAX the caller routes losses through
-``jax.experimental.multihost_utils.process_allgather`` first.
+``cmtts_tpu.parallel.sharding.gather_per_sample`` (process_allgather),
+as ``cli/train_cm.py`` does — tested in
+``tests/test_parallel.py::test_lsm_update_from_sharded_outputs``.
 """
 
 from __future__ import annotations

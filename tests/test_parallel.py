@@ -38,25 +38,75 @@ def test_shard_batch_and_pad():
     assert batch2["a"].shape == (8, 4)
 
 
-def test_lsm_update_from_sharded_outputs():
-    """The LSM sampler must see the GLOBAL per-sample losses under DP
-    (reference syncs with all_gather, resample.py:117-153; here the jit
-    outputs are globally addressable and the host update is identical
-    sharded or not)."""
-    from cmtts_tpu.train.resample import LossSecondMomentSampler
+def test_gather_per_sample_branches():
+    """Both gather paths (device_get and process_allgather) must return
+    the full global value of a mesh-sharded array in original order."""
+    from cmtts_tpu.parallel.sharding import gather_per_sample
 
     mesh = make_mesh()
     losses = np.arange(8, dtype=np.float32) + 1.0
-    indices = np.array([0, 1, 0, 1, 0, 1, 0, 1])
-    sharded_losses = jax.device_put(losses, data_sharding(mesh))
-    sharded_idx = jax.device_put(indices, data_sharding(mesh))
+    sharded = jax.device_put(losses, data_sharding(mesh))
+    np.testing.assert_array_equal(gather_per_sample(sharded), losses)
+    np.testing.assert_array_equal(
+        gather_per_sample(sharded, force_allgather=True), losses)
 
+
+def test_lsm_update_from_sharded_outputs():
+    """The LSM sampler must see the GLOBAL per-sample losses under DP
+    (reference syncs with all_gather, resample.py:117-153).  Drive the
+    REAL train step on the 8-device mesh with a sharded batch, route its
+    per-sample outputs through gather_per_sample (both branches), and
+    assert the LSM history equals the single-device run's."""
+    from cmtts_tpu.parallel.sharding import gather_per_sample
+    from cmtts_tpu.train.resample import LossSecondMomentSampler
+
+    cfg = tiny_config()
+    model = CMTTS(cfg)
+    batch_np = tiny_batch(B=2)
+
+    def rep(x):
+        return np.concatenate([x] * 4, axis=0)
+
+    big = {}
+    for k, v in batch_np.items():
+        if k == "p_targets":
+            big[k] = {kk: jnp.asarray(rep(vv)) for kk, vv in v.items()}
+        elif isinstance(v, np.ndarray):
+            big[k] = jnp.asarray(rep(v))
+    rng = jax.random.PRNGKey(0)
+    variables = model.init(
+        {"params": rng, "dropout": rng},
+        big["mels"], jnp.zeros(8),
+        speakers=big["speakers"], texts=big["texts"], src_lens=big["src_lens"],
+        mel2ph=big["mel2ph"], d_targets=big["d_targets"],
+        p_targets=big["p_targets"], e_targets=big["e_targets"],
+        deterministic=True)
+    tx = make_optimizer(1e-3)
+    probs = jnp.asarray(create_schedule_sampler("uniform", 3).probs())
+    step_rng = jax.random.PRNGKey(5)
+    step = make_train_step(model, cfg, tx, num_scales=3, donate=False)
+
+    # single-device run -> LSM history
+    state1 = create_train_state(variables["params"], tx, n_ema=1)
+    _, m1 = step(state1, big, probs, step_rng, jnp.asarray(0.9))
     s_local = LossSecondMomentSampler(3, history_per_term=4)
-    s_shard = LossSecondMomentSampler(3, history_per_term=4)
-    s_local.update(indices, losses)
-    s_shard.update(np.asarray(sharded_idx), np.asarray(sharded_losses))
-    np.testing.assert_array_equal(s_local._history, s_shard._history)
-    np.testing.assert_array_equal(s_local._counts, s_shard._counts)
+    s_local.update(np.asarray(m1["indices"]),
+                   np.asarray(m1["loss_per_sample"]))
+
+    # sharded run -> gather -> LSM history
+    mesh = make_mesh()
+    state2 = create_train_state(variables["params"], tx, n_ema=1)
+    state2 = replicate_state(state2, mesh)
+    sharded = shard_batch(big, mesh)
+    _, m2 = step(state2, sharded, probs, step_rng, jnp.asarray(0.9))
+    for force in (False, True):
+        s_shard = LossSecondMomentSampler(3, history_per_term=4)
+        s_shard.update(
+            gather_per_sample(m2["indices"], force_allgather=force),
+            gather_per_sample(m2["loss_per_sample"], force_allgather=force))
+        np.testing.assert_array_equal(s_local._counts, s_shard._counts)
+        np.testing.assert_allclose(s_local._history, s_shard._history,
+                                   rtol=1e-5, atol=1e-6)
 
 
 @pytest.mark.slow
