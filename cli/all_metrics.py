@@ -32,15 +32,24 @@ def main():
     parser.add_argument("--file_find_type", type=str, default=None,
                         choices=[None, "key_step", "only_end"])
     parser.add_argument("--max_pairs", type=int, default=None)
+    parser.add_argument("--mos_ckpt", type=str, default=None,
+                        help="local MBNet torch checkpoint for mb_mos")
+    parser.add_argument("--ld_ckpt", type=str, default=None,
+                        help="local LDNet torch checkpoint for ld_mos")
+    parser.add_argument("--ld_config", type=str, default=None,
+                        help="LDNet config.yml accompanying --ld_ckpt")
     args = parser.parse_args()
 
     os.environ.setdefault("JAX_PLATFORMS", "cpu")
 
     from cmtts_tpu.metrics import Cal, CalOneModel
 
+    mos_kw = dict(mos_ckpt=args.mos_ckpt, ld_ckpt=args.ld_ckpt,
+                  ld_config=args.ld_config)
     if args.single:
         cal = Cal(args.syn_root, data_type=args.data_type,
-                  raw_folder=args.raw_folder, max_pairs=args.max_pairs)
+                  raw_folder=args.raw_folder, max_pairs=args.max_pairs,
+                  **mos_kw)
         vals = cal.get_metrics_by_list(args.metrics)
         for name, val in zip(args.metrics, vals):
             print(f"{name}: {val:.6f}")
@@ -48,7 +57,7 @@ def main():
         tool = CalOneModel(args.syn_root, raw_folder=args.raw_folder,
                            data_type=args.data_type,
                            file_find_type=args.file_find_type,
-                           max_pairs=args.max_pairs)
+                           max_pairs=args.max_pairs, **mos_kw)
         csv_path = tool.get_model_metrics_by_list(args.metrics)
         print(f"wrote {csv_path}")
 

@@ -28,7 +28,8 @@ class Cal:
                  raw_folder: str = "", sampling_rate: int = SR,
                  speaker_embedder=None, transcriber=None,
                  text_lookup=None, max_pairs: int | None = None,
-                 mos_ckpt: str | None = None):
+                 mos_ckpt: str | None = None, ld_ckpt: str | None = None,
+                 ld_config: str | None = None):
         self.syn_folder = syn_folder
         self.raw_folder = raw_folder
         self.data_type = data_type
@@ -37,6 +38,8 @@ class Cal:
         self.transcriber = transcriber
         self.text_lookup = text_lookup or {}
         self.mos_ckpt = mos_ckpt
+        self.ld_ckpt = ld_ckpt
+        self.ld_config = ld_config
         self._mos_tool = None
         self.syn2label = self._init_file_match()
         if max_pairs:
@@ -192,7 +195,9 @@ class Cal:
             from cmtts_tpu.metrics.mos import MOSCal
 
             self._mos_tool = MOSCal(sample_rate=self.sr,
-                                    mb_ckpt=self.mos_ckpt)
+                                    mb_ckpt=self.mos_ckpt,
+                                    ld_ckpt=self.ld_ckpt,
+                                    ld_config=self.ld_config)
         return self._mos_tool
 
     def compute_mb_mos(self):

@@ -4,8 +4,10 @@ MBNet's MeanNet (the part ``get_mb_mos`` uses: conv stack -> BLSTM ->
 MLP over |STFT| frames) is reimplemented in flax with a torch-checkpoint
 converter.  The pretrained weights (``model-50000.pt``) are a
 missing-large-blob in the reference snapshot — without them the loader
-raises an informative error.  LDNet (~1.1k LoC, its own external
-checkpoint) is exposed as a gated hook only.
+raises an informative error.  LDNet lives in
+:mod:`cmtts_tpu.metrics.ldnet` (flax port + converter); ``get_ld_mos``
+loads it from a local (config.yml, model.pt) pair — the reference
+hardcodes developer-machine paths (metrics/mos.py:30-31).
 """
 
 from __future__ import annotations
@@ -118,12 +120,18 @@ def hamming_spectrum(wav: np.ndarray, sr_unused: int = 22500) -> np.ndarray:
 
 class MOSCal:
     """MOS predictor harness (metrics/mos.py:11-67).  ``mb_ckpt`` is the
-    torch MBNet checkpoint (a missing blob in the reference snapshot)."""
+    torch MBNet checkpoint (a missing blob in the reference snapshot);
+    ``ld_ckpt``/``ld_config`` point at a local LDNet checkpoint + its
+    config.yml (external assets, reference metrics/mos.py:29-37)."""
 
-    def __init__(self, sample_rate: int = 22500, mb_ckpt: str | None = None):
+    def __init__(self, sample_rate: int = 22500, mb_ckpt: str | None = None,
+                 ld_ckpt: str | None = None, ld_config: str | None = None):
         self.sample_rate = sample_rate
         self.mb_ckpt = mb_ckpt
+        self.ld_ckpt = ld_ckpt
+        self.ld_config = ld_config
         self._mb = None
+        self._ld = None
 
     def _load_mb(self):
         if self.mb_ckpt is None:
@@ -147,8 +155,34 @@ class MOSCal:
         scores = self._mb(jnp.asarray(spec))
         return float(np.asarray(scores).mean())
 
+    def _load_ld(self):
+        if self.ld_ckpt is None or self.ld_config is None:
+            raise RuntimeError(
+                "LDNet checkpoint unavailable: the reference loads the "
+                "external Pretrained-LDNet-ML-2337 (model-27000.pt + "
+                "config.yml, hardcoded developer paths in "
+                "metrics/mos.py:30-31) — pass ld_ckpt=/ld_config= to MOSCal")
+        import torch
+        import yaml
+
+        from cmtts_tpu.metrics.ldnet import LDNet, convert_torch_ldnet
+
+        with open(self.ld_config) as f:
+            config = yaml.safe_load(f)
+        sd = torch.load(self.ld_ckpt, map_location="cpu", weights_only=False)
+        sd = {k: v.numpy() for k, v in sd.items() if hasattr(v, "numpy")}
+        params, stats = convert_torch_ldnet(sd, config)
+        model = LDNet(config)
+        variables = {"params": params, "batch_stats": stats}
+        self._ld = jax.jit(lambda spec: model.apply(
+            variables, spec, include_meanspk=False,
+            method=LDNet.average_inference))
+
     def get_ld_mos(self, wav: np.ndarray) -> float:
-        raise RuntimeError(
-            "LDNet support requires its external checkpoint "
-            "(Pretrained-LDNet-ML-2337/model-27000.pt, not shipped with "
-            "the reference); plug a custom predictor into Cal instead")
+        """Average-listener LDNet MOS of one waveform (reference
+        metrics/mos.py:39-51)."""
+        if self._ld is None:
+            self._load_ld()
+        spec = hamming_spectrum(wav, self.sample_rate)[None]
+        scores, _posterior = self._ld(jnp.asarray(spec))
+        return float(np.asarray(scores)[0])
