@@ -24,9 +24,10 @@ def main():
     parser.add_argument("--data_type", type=str, default="LJSpeech",
                         choices=["LJSpeech", "VCTK"])
     parser.add_argument("--metrics", nargs="+", required=True,
-                        help="e.g. mcd mcd24 ffe ssim f0_rmse f0_corr "
-                             "mfcc_cos si_sdr fid_mel fid_mfcc precision_mel "
-                             "recall_mel speaker_cos mfcc_gmm_kl wer")
+                        help="e.g. mcd mcd24 mcd_dctmel ffe ssim f0_rmse "
+                             "f0_corr mfcc_cos si_sdr fid_mel fid_mfcc "
+                             "precision_mel recall_mel speaker_cos "
+                             "mfcc_gmm_kl wer mb_mos ld_mos")
     parser.add_argument("--single", action="store_true",
                         help="treat --syn_root as one results dir")
     parser.add_argument("--file_find_type", type=str, default=None,

@@ -14,6 +14,7 @@ from cmtts_tpu.metrics.features import (
     SR,
     load_wav,
     mcep,
+    mcep_dctmel,
     mel_power,
     mfcc,
     trim_silence,
@@ -107,6 +108,17 @@ def mcd_dtw(wav_syn: np.ndarray, wav_raw: np.ndarray, sr: int = SR) -> float:
     log-spectral distance along the optimal DTW path."""
     c_syn = mcep(wav_syn, sr)[:, 1:]
     c_raw = mcep(wav_raw, sr)[:, 1:]
+    path = dtw_path(c_raw, c_syn)
+    d = [_log_spec_db_dist(c_raw[i], c_syn[j]) for i, j in path]
+    return float(np.mean(d))
+
+
+def mcd_dctmel(wav_syn: np.ndarray, wav_raw: np.ndarray, sr: int = SR) -> float:
+    """Internal regression MCD over the DCT-of-log-mel cepstrum (the
+    round-1 substitute, kept under its own name; NOT comparable to the
+    paper's MCD — use mcd/mcd24)."""
+    c_syn = mcep_dctmel(wav_syn, sr)[:, 1:]
+    c_raw = mcep_dctmel(wav_raw, sr)[:, 1:]
     path = dtw_path(c_raw, c_syn)
     d = [_log_spec_db_dist(c_raw[i], c_syn[j]) for i, j in path]
     return float(np.mean(d))

@@ -77,6 +77,9 @@ class Cal:
     def compute_mcd(self):
         return self._pair_mean(lambda s, r: core.mcd_dtw(s, r, self.sr))
 
+    def compute_mcd_dctmel(self):
+        return self._pair_mean(lambda s, r: core.mcd_dctmel(s, r, self.sr))
+
     def compute_mcd24(self):
         tot_cost, tot_frames = 0.0, 0
         for s, r in self.syn2label.items():

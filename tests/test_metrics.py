@@ -163,3 +163,85 @@ def test_cal_one_model_csv(results_tree):
     assert rows[0] == "train_step,mcd"
     assert len(rows) == 3
     assert rows[1].startswith("100,") and rows[2].startswith("200,")
+
+
+# -- true MCEP (SPTK mcep semantics, VERDICT r1 item 6) ----------------------
+def test_freqt_alpha_zero_is_truncation():
+    from cmtts_tpu.metrics.features import freqt
+
+    rng = np.random.RandomState(0)
+    c = rng.randn(3, 11)
+    out = freqt(c, 6, 0.0)
+    np.testing.assert_allclose(out, c[:, :7], atol=1e-12)
+    # order beyond input: zero-padded
+    out2 = freqt(c, 14, 0.0)
+    np.testing.assert_allclose(out2[:, :11], c, atol=1e-12)
+    np.testing.assert_allclose(out2[:, 11:], 0.0, atol=1e-12)
+
+
+def test_freqt_inverse_roundtrip():
+    """freqt(-alpha) inverts freqt(alpha) through a high-order
+    intermediate (the all-pass warp is invertible)."""
+    from cmtts_tpu.metrics.features import freqt
+
+    rng = np.random.RandomState(1)
+    c = rng.randn(2, 9) * np.exp(-0.5 * np.arange(9))  # decaying cepstrum
+    warped = freqt(c, 64, 0.435)
+    back = freqt(warped, 8, -0.435)
+    np.testing.assert_allclose(back, c, rtol=1e-5, atol=1e-7)
+
+
+def test_sptk_mcep_alpha_zero_is_real_cepstrum():
+    from cmtts_tpu.metrics.features import sptk_mcep_from_spectrum
+
+    rng = np.random.RandomState(2)
+    n_half = 256
+    sp = np.exp(rng.randn(4, n_half + 1) * 0.3 + 1.0)
+    mc = sptk_mcep_from_spectrum(sp, order=24, alpha=0.0, eps=1e-8)
+    logp = np.log(sp * sp + 1e-8)
+    cep = np.fft.irfft(logp, n=2 * n_half, axis=1)[:, : n_half + 1]
+    cep[:, 0] /= 2.0
+    cep[:, n_half] /= 2.0
+    np.testing.assert_allclose(mc, cep[:, :25], rtol=1e-9, atol=1e-12)
+
+
+def test_sptk_mcep_flat_spectrum():
+    """A flat amplitude spectrum has only the c0 cepstral term; the
+    all-pass warp keeps DC at DC."""
+    from cmtts_tpu.metrics.features import sptk_mcep_from_spectrum
+
+    sp = np.full((1, 257), 2.0)
+    mc = sptk_mcep_from_spectrum(sp, order=24, alpha=0.435, eps=0.0)
+    np.testing.assert_allclose(mc[0, 0], np.log(4.0) / 2, rtol=1e-9)
+    np.testing.assert_allclose(mc[0, 1:], 0.0, atol=1e-9)
+
+
+def test_cheaptrick_envelope_tracks_formant():
+    """The envelope of a pure tone must peak near the tone frequency and
+    be smooth (harmonic ripple removed)."""
+    from cmtts_tpu.metrics.features import cheaptrick_envelope
+
+    sr = 22050
+    t = np.arange(int(sr * 0.5)) / sr
+    f0 = 220.0
+    wav = (np.sin(2 * np.pi * f0 * t) +
+           0.5 * np.sin(2 * np.pi * 2 * f0 * t)).astype(np.float64)
+    sp = cheaptrick_envelope(wav, sr, f0=np.full(101, f0))
+    freqs = np.arange(sp.shape[1]) * sr / 512
+    mid = sp[sp.shape[0] // 2]
+    peak_hz = freqs[np.argmax(mid)]
+    assert abs(peak_hz - f0) < 120  # within ~3 bins of the fundamental
+    assert np.isfinite(sp).all() and (sp > 0).all()
+
+
+def test_true_mcd_identity_ordering_and_dctmel():
+    rng = np.random.RandomState(3)
+    t = np.arange(22050 // 2) / 22050
+    a = np.sin(2 * np.pi * 220 * t).astype(np.float32)
+    b = (np.sin(2 * np.pi * 220 * t) * (1 + 0.1 * np.sin(2 * np.pi * 3 * t))
+         ).astype(np.float32) + 0.01 * rng.randn(len(t)).astype(np.float32)
+    c = rng.randn(len(t)).astype(np.float32)
+    assert core.mcd_dtw(a, a) < 1e-6
+    assert core.mcd_dtw(a, b) < core.mcd_dtw(a, c)
+    assert core.mcd_dctmel(a, a) < 1e-6
+    assert core.mcd_dctmel(a, b) < core.mcd_dctmel(a, c)
