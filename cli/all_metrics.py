@@ -39,6 +39,11 @@ def main():
                         help="local LDNet torch checkpoint for ld_mos")
     parser.add_argument("--ld_config", type=str, default=None,
                         help="LDNet config.yml accompanying --ld_ckpt")
+    parser.add_argument("--asr_model", type=str, default=None,
+                        help="local whisper-weights dir (or hub id) for wer")
+    parser.add_argument("--meta_txt", nargs="*", default=None,
+                        help="train/val.txt metadata files supplying "
+                             "reference transcripts for wer")
     args = parser.parse_args()
 
     os.environ.setdefault("JAX_PLATFORMS", "cpu")
@@ -46,7 +51,8 @@ def main():
     from cmtts_tpu.metrics import Cal, CalOneModel
 
     mos_kw = dict(mos_ckpt=args.mos_ckpt, ld_ckpt=args.ld_ckpt,
-                  ld_config=args.ld_config)
+                  ld_config=args.ld_config, transcriber=args.asr_model,
+                  meta_txt=args.meta_txt)
     if args.single:
         cal = Cal(args.syn_root, data_type=args.data_type,
                   raw_folder=args.raw_folder, max_pairs=args.max_pairs,

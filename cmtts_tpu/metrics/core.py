@@ -245,34 +245,66 @@ def edit_distance(ref: list, hyp: list) -> int:
     return int(d[m])
 
 
-def wer(ref_text: str, hyp_text: str, strip_punct: bool = True) -> float:
-    """Word error rate (jiwer replacement, all_metrics.py:228-283)."""
+def _norm_words(s: str, strip_punct: bool = True) -> list[str]:
     import re
 
-    def norm(s):
-        s = s.lower()
-        if strip_punct:
-            s = re.sub(r"[^\w\s']", " ", s)
-        return s.split()
+    s = s.lower()
+    if strip_punct:
+        s = re.sub(r"[^\w\s']", " ", s)
+    return s.split()
 
-    ref = norm(ref_text)
-    hyp = norm(hyp_text)
-    if not ref:
-        return 0.0 if not hyp else 1.0
-    return edit_distance(ref, hyp) / len(ref)
+
+def wer_counts(ref_text: str, hyp_text: str,
+               strip_punct: bool = True) -> tuple[int, int]:
+    """(word edit distance, reference word count) for one utterance —
+    the corpus-level WER is sum(edits)/sum(ref words), which is what
+    ``jiwer.wer(list, list)`` computes in the reference
+    (all_metrics.py:275-280)."""
+    ref = _norm_words(ref_text, strip_punct)
+    hyp = _norm_words(hyp_text, strip_punct)
+    return edit_distance(ref, hyp), len(ref)
+
+
+def wer(ref_text: str, hyp_text: str, strip_punct: bool = True) -> float:
+    """Word error rate of one utterance pair (jiwer replacement,
+    all_metrics.py:228-283; both sides lowercased + punctuation
+    stripped, slightly stricter than the reference which lowercases
+    only the hypothesis)."""
+    edits, n_ref = wer_counts(ref_text, hyp_text, strip_punct)
+    if n_ref == 0:
+        return 0.0 if edits == 0 else 1.0
+    return edits / n_ref
 
 
 def make_whisper_transcriber(model_name: str = "openai/whisper-base"):
-    """ASR hook for WER: returns a transcribe(wav, sr) -> str callable via
+    """Probe for a default ASR: transcribe(wav, sr) -> str callable via
     transformers, or None when weights are unavailable (zero-egress env —
     the reference loads whisper-large, all_metrics.py:174-283)."""
     try:
-        from transformers import pipeline
-
-        asr = pipeline("automatic-speech-recognition", model=model_name)
-        return lambda wav, sr: asr({"raw": wav, "sampling_rate": sr})["text"]
+        return make_transcriber(model_name)
     except Exception:
         return None
+
+
+def make_transcriber(spec):
+    """Pluggable transcriber factory for the WER path.
+
+    - callable -> returned as-is (``transcribe(wav, sr) -> str``);
+    - str      -> a transformers ASR pipeline from a LOCAL directory of
+      whisper weights (or a hub id when the environment has egress);
+      raises with the underlying error instead of silently degrading;
+    - None     -> None (caller decides how to probe defaults).
+    """
+    if spec is None or callable(spec):
+        return spec
+    if not isinstance(spec, str):
+        raise TypeError(f"transcriber spec must be callable|str|None, "
+                        f"got {type(spec)}")
+    from transformers import pipeline
+
+    asr = pipeline("automatic-speech-recognition", model=spec)
+    return lambda wav, sr: asr({"raw": np.asarray(wav, np.float32),
+                                "sampling_rate": sr})["text"]
 
 
 # -- FID & manifold precision/recall ----------------------------------------

@@ -27,7 +27,8 @@ class Cal:
     def __init__(self, syn_folder: str, data_type: str = "VCTK",
                  raw_folder: str = "", sampling_rate: int = SR,
                  speaker_embedder=None, transcriber=None,
-                 text_lookup=None, max_pairs: int | None = None,
+                 text_lookup=None, meta_txt=None,
+                 max_pairs: int | None = None,
                  mos_ckpt: str | None = None, ld_ckpt: str | None = None,
                  ld_config: str | None = None):
         self.syn_folder = syn_folder
@@ -35,8 +36,17 @@ class Cal:
         self.data_type = data_type
         self.sr = sampling_rate
         self.speaker_embedder = speaker_embedder
-        self.transcriber = transcriber
-        self.text_lookup = text_lookup or {}
+        # transcriber: callable, or a local whisper-weights path (str)
+        self.transcriber = core.make_transcriber(transcriber)
+        self.text_lookup = dict(text_lookup or {})
+        # reference fill_base_name2text (all_metrics.py:233-254):
+        # train/val.txt lines `basename|speaker|{phones}|raw_text`
+        for path in (meta_txt or []):
+            with open(path) as f:
+                for line in f:
+                    parts = line.strip().split("|")
+                    if len(parts) >= 4:
+                        self.text_lookup.setdefault(parts[0], parts[3])
         self.mos_ckpt = mos_ckpt
         self.ld_ckpt = ld_ckpt
         self.ld_config = ld_config
@@ -171,24 +181,36 @@ class Cal:
         return self._precision_recall("mfcc")[1]
 
     def compute_wer(self):
+        """Corpus-level WER (sum edits / sum ref words, matching
+        jiwer.wer over lists, all_metrics.py:275-280); also writes the
+        reference's ``Awer_output.txt`` transcript dump next to the
+        synthesized wavs (all_metrics.py:271-274)."""
         if self.transcriber is None:
             self.transcriber = core.make_whisper_transcriber()
         if self.transcriber is None:
             raise RuntimeError(
                 "no ASR available: whisper weights not cached in this "
-                "environment — pass transcriber= to Cal")
-        vals = []
+                "environment — pass transcriber=<callable or local "
+                "whisper-weights path> to Cal (core.make_transcriber)")
+        total_edits, total_ref = 0, 0
+        lines = []
         for syn in self.syn2label:
             base = osp.splitext(osp.basename(syn))[0]
             ref_text = self.text_lookup.get(base)
             if ref_text is None:
                 continue
             hyp = self.transcriber(self._wav(syn), self.sr)
-            vals.append(core.wer(ref_text, hyp))
-        if not vals:
+            edits, n_ref = core.wer_counts(ref_text, hyp)
+            total_edits += edits
+            total_ref += n_ref
+            lines += [f"ref {ref_text}", f"hyp {hyp}"]
+        if total_ref == 0:
             raise RuntimeError("no reference transcripts matched; pass "
-                               "text_lookup={basename: text}")
-        return float(np.mean(vals))
+                               "text_lookup={basename: text} or "
+                               "meta_txt= paths")
+        with open(osp.join(self.syn_folder, "Awer_output.txt"), "w") as f:
+            f.write("\n".join(lines) + "\n")
+        return total_edits / total_ref
 
     compute_wer_un_comma = compute_wer
 

@@ -246,10 +246,12 @@ class DSIdentityBlock(nn.Module):
     @nn.compact
     def __call__(self, x, train: bool = False):
         h = nn.Conv(self.filters, (3, 3), padding="SAME", name="conv_a")(x)
-        h = nn.BatchNorm(use_running_average=not train, name="bn_a")(h)
+        h = nn.BatchNorm(use_running_average=not train, epsilon=1e-3,
+                         name="bn_a")(h)
         h = clipped_relu(h)
         h = nn.Conv(self.filters, (3, 3), padding="SAME", name="conv_b")(h)
-        h = nn.BatchNorm(use_running_average=not train, name="bn_b")(h)
+        h = nn.BatchNorm(use_running_average=not train, epsilon=1e-3,
+                         name="bn_b")(h)
         h = clipped_relu(h)
         return clipped_relu(h + x)
 
@@ -261,7 +263,9 @@ class DSConvResStage(nn.Module):
     def __call__(self, x, train: bool = False):
         x = nn.Conv(self.filters, (5, 5), strides=(2, 2), padding="SAME",
                     name="conv")(x)
-        x = nn.BatchNorm(use_running_average=not train, name="bn")(x)
+        # keras BatchNormalization epsilon default (conv_models.py BN layers)
+        x = nn.BatchNorm(use_running_average=not train, epsilon=1e-3,
+                         name="bn")(x)
         x = clipped_relu(x)
         for i in range(3):
             x = DSIdentityBlock(self.filters, name=f"res_{i}")(x, train)
@@ -283,7 +287,9 @@ class DeepSpeakerResCNN(nn.Module):
         x = x.reshape(B, T, F_ * C)          # (B, T/16, 2048)
         x = x.mean(axis=1)                   # temporal average
         x = nn.Dense(self.embedding, name="affine")(x)
-        return x / (jnp.linalg.norm(x, axis=1, keepdims=True) + 1e-12)
+        # K.l2_normalize: x * rsqrt(max(sum(x^2), 1e-12))
+        return x * jax.lax.rsqrt(
+            jnp.maximum((x * x).sum(axis=1, keepdims=True), 1e-12))
 
 
 def ds_fbank_frames(wav: np.ndarray, sr: int = 22050,

@@ -245,3 +245,72 @@ def test_true_mcd_identity_ordering_and_dctmel():
     assert core.mcd_dtw(a, b) < core.mcd_dtw(a, c)
     assert core.mcd_dctmel(a, a) < 1e-6
     assert core.mcd_dctmel(a, b) < core.mcd_dctmel(a, c)
+
+
+# -- pluggable WER transcriber (VERDICT r1 item 9) ---------------------------
+def test_wer_counts_and_corpus_level():
+    # per-utterance
+    assert core.wer("the cat sat", "the cat sat") == 0.0
+    assert core.wer("the cat sat", "the dog sat") == pytest.approx(1 / 3)
+    # corpus-level accumulation != mean of per-file rates
+    e1, n1 = core.wer_counts("a b", "a x")          # 1/2
+    e2, n2 = core.wer_counts("a b c d e f", "a b c d e f")  # 0/6
+    assert (e1 + e2) / (n1 + n2) == pytest.approx(1 / 8)
+
+
+def test_make_transcriber_contract():
+    fn = lambda wav, sr: "hello"
+    assert core.make_transcriber(fn) is fn
+    assert core.make_transcriber(None) is None
+    with pytest.raises(TypeError):
+        core.make_transcriber(123)
+    # a bogus local path must raise loudly (not degrade to None)
+    with pytest.raises(Exception):
+        core.make_transcriber("/nonexistent/whisper-weights")
+
+
+def test_cal_wer_mocked_end_to_end(results_tree):
+    """Mocked transcriber through Cal + CalOneModel (VERDICT r1 item 9):
+    metadata-txt transcript lookup, corpus-level WER, Awer_output.txt."""
+    import csv
+
+    root = results_tree
+    meta = root / "meta.txt"
+    with open(meta, "w") as f:
+        f.write("LJ001-0000|LJ|{HH AH0}|the cat sat\n")
+        f.write("LJ001-0001|LJ|{HH AH0}|a dog barks\n")
+
+    hyps = {"LJ001-0000": "the cat sat", "LJ001-0001": "a dog sleeps"}
+    calls = []
+
+    def fake_asr(wav, sr):
+        calls.append(len(wav))
+        # dispatch on which wav we got by matching lengths is fragile;
+        # return per-call in syn2label order instead (cycling, since
+        # CalOneModel calls once per wav per step subdir)
+        return list(hyps.values())[(len(calls) - 1) % len(hyps)]
+
+    cal = Cal(str(root / "syn" / "100"), data_type="LJSpeech",
+              raw_folder=str(root / "raw"), transcriber=fake_asr,
+              meta_txt=[str(meta)])
+    got = cal.compute_wer()
+    # 0 edits over 3 words + 1 edit over 3 words = 1/6
+    assert got == pytest.approx(1 / 6)
+    dump = (root / "syn" / "100" / "Awer_output.txt").read_text()
+    assert "ref the cat sat" in dump and "hyp a dog sleeps" in dump
+
+    # through CalOneModel (cal_kwargs forwarding)
+    calls.clear()
+    tool = CalOneModel(str(root / "syn"), raw_folder=str(root / "raw"),
+                       data_type="LJSpeech", transcriber=fake_asr,
+                       meta_txt=[str(meta)])
+    csv_path = tool.get_model_metrics_by_list(["wer"])
+    rows = list(csv.reader(open(csv_path)))
+    assert rows[0] == ["train_step", "wer"]
+    assert len(rows) == 3
+
+    # no transcripts matched -> informative error
+    cal2 = Cal(str(root / "syn" / "100"), data_type="LJSpeech",
+               raw_folder=str(root / "raw"), transcriber=fake_asr)
+    with pytest.raises(RuntimeError, match="transcripts"):
+        cal2.compute_wer()

@@ -135,3 +135,134 @@ def test_ds_fbank_and_sampling():
     s2 = ds_sample_frames(short, 160)
     assert s2.shape == (160, 64)
     np.testing.assert_array_equal(s2[:50], short)
+
+
+# -- DeepSpeaker numeric golden (VERDICT r1 item 7): an independent numpy
+# -- implementation of the keras semantics (TF SAME padding, BN eps=1e-3,
+# -- clipped relu, reshape->temporal mean->affine->K.l2_normalize) is
+# -- compared against the flax modules on frozen random weights.
+
+def _np_conv2d_same(x, w, b, stride):
+    """NHWC cross-correlation with TF 'SAME' padding (asymmetric: extra
+    pad goes to the bottom/right), the semantics of keras Conv2D
+    padding='same' (conv_models.py:86-127)."""
+    B, H, W_, C = x.shape
+    kh, kw, _, O = w.shape
+    oh = -(-H // stride)
+    ow = -(-W_ // stride)
+    pad_h = max((oh - 1) * stride + kh - H, 0)
+    pad_w = max((ow - 1) * stride + kw - W_, 0)
+    xp = np.pad(x, ((0, 0), (pad_h // 2, pad_h - pad_h // 2),
+                    (pad_w // 2, pad_w - pad_w // 2), (0, 0)))
+    out = np.zeros((B, oh, ow, O))
+    for i in range(oh):
+        for j in range(ow):
+            patch = xp[:, i * stride:i * stride + kh,
+                       j * stride:j * stride + kw, :]
+            out[:, i, j, :] = np.tensordot(patch, w, axes=([1, 2, 3],
+                                                           [0, 1, 2]))
+    return out + b
+
+
+def _np_bn(x, scale, bias, mean, var, eps=1e-3):
+    return (x - mean) / np.sqrt(var + eps) * scale + bias
+
+
+def _np_crelu(x):
+    return np.clip(x, 0.0, 20.0)
+
+
+def test_deepspeaker_stage_numpy_golden():
+    """One conv_and_res_block (stride-2 conv + BN + crelu + 3 identity
+    blocks) against the independent numpy keras-semantics forward."""
+    import jax
+
+    from cmtts_tpu.models.speaker import DSConvResStage
+
+    rng = np.random.RandomState(0)
+    x = rng.randn(2, 10, 8, 3).astype(np.float32)
+    stage = DSConvResStage(4)
+    variables = stage.init(jax.random.PRNGKey(0), jnp.asarray(x))
+    params, stats = variables["params"], variables["batch_stats"]
+
+    # randomize BN stats so the eps/stat handling is exercised
+    def rand_stats(tree):
+        return jax.tree_util.tree_map(
+            lambda a: np.asarray(rng.uniform(0.5, 1.5, a.shape), np.float32),
+            tree)
+
+    stats = rand_stats(stats)
+    got = stage.apply({"params": params, "batch_stats": stats},
+                      jnp.asarray(x))
+
+    def bn(name, tree, h):
+        p, s = tree["params"][name], tree["stats"][name]
+        return _np_bn(h, np.asarray(p["scale"]), np.asarray(p["bias"]),
+                      np.asarray(s["mean"]), np.asarray(s["var"]))
+
+    t = {"params": params, "stats": stats}
+    h = _np_conv2d_same(x, np.asarray(params["conv"]["kernel"]),
+                        np.asarray(params["conv"]["bias"]), 2)
+    h = _np_crelu(bn("bn", t, h))
+    for i in range(3):
+        rp = params[f"res_{i}"]
+        rs = stats[f"res_{i}"]
+        rt = {"params": rp, "stats": rs}
+        a = _np_conv2d_same(h, np.asarray(rp["conv_a"]["kernel"]),
+                            np.asarray(rp["conv_a"]["bias"]), 1)
+        a = _np_crelu(bn("bn_a", rt, a))
+        b_ = _np_conv2d_same(a, np.asarray(rp["conv_b"]["kernel"]),
+                             np.asarray(rp["conv_b"]["bias"]), 1)
+        b_ = _np_crelu(bn("bn_b", rt, b_))
+        h = _np_crelu(b_ + h)
+
+    np.testing.assert_allclose(np.asarray(got), h, rtol=1e-4, atol=1e-5)
+
+
+def test_deepspeaker_head_numpy_golden():
+    """Reshape((-1, 2048)) -> temporal mean -> Dense(512) ->
+    K.l2_normalize head (conv_models.py:52-66) vs numpy."""
+    import jax
+
+    from cmtts_tpu.models.speaker import DeepSpeakerResCNN
+
+    rng = np.random.RandomState(1)
+    x = rng.randn(2, 32, 64, 1).astype(np.float32)
+    model = DeepSpeakerResCNN()
+    variables = model.init(jax.random.PRNGKey(1), jnp.asarray(x))
+    got = np.asarray(model.apply(variables, jnp.asarray(x)))
+
+    # numpy forward of the full net using the same stage math
+    h = x
+    for i, f in enumerate((64, 128, 256, 512)):
+        p = variables["params"][f"stage_{i}"]
+        s = variables["batch_stats"][f"stage_{i}"]
+        h = _np_conv2d_same(h, np.asarray(p["conv"]["kernel"]),
+                            np.asarray(p["conv"]["bias"]), 2)
+        h = _np_crelu(_np_bn(h, np.asarray(p["bn"]["scale"]),
+                             np.asarray(p["bn"]["bias"]),
+                             np.asarray(s["bn"]["mean"]),
+                             np.asarray(s["bn"]["var"])))
+        for j in range(3):
+            rp, rs = p[f"res_{j}"], s[f"res_{j}"]
+            a = _np_conv2d_same(h, np.asarray(rp["conv_a"]["kernel"]),
+                                np.asarray(rp["conv_a"]["bias"]), 1)
+            a = _np_crelu(_np_bn(a, np.asarray(rp["bn_a"]["scale"]),
+                                 np.asarray(rp["bn_a"]["bias"]),
+                                 np.asarray(rs["bn_a"]["mean"]),
+                                 np.asarray(rs["bn_a"]["var"])))
+            b_ = _np_conv2d_same(a, np.asarray(rp["conv_b"]["kernel"]),
+                                 np.asarray(rp["conv_b"]["bias"]), 1)
+            b_ = _np_crelu(_np_bn(b_, np.asarray(rp["bn_b"]["scale"]),
+                                  np.asarray(rp["bn_b"]["bias"]),
+                                  np.asarray(rs["bn_b"]["mean"]),
+                                  np.asarray(rs["bn_b"]["var"])))
+            h = _np_crelu(b_ + h)
+    B, T, F_, C = h.shape
+    # keras Reshape((-1, 2048)): row-major (T, F, C) -> (T*F*C/2048, 2048)
+    flat = h.reshape(B, -1, 2048)
+    pooled = flat.mean(axis=1)
+    aff = variables["params"]["affine"]
+    emb = pooled @ np.asarray(aff["kernel"]) + np.asarray(aff["bias"])
+    want = emb / np.sqrt(np.maximum((emb ** 2).sum(1, keepdims=True), 1e-12))
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-5)
