@@ -45,7 +45,8 @@ def main():
     cfg = load_configs(args.dataset, args.config_root)
     payload = restore_checkpoint(cfg.train.ckpt_path, args.restore_step or None)
     voc_params = load_hifigan_params(args.vocoder_ckpt, cfg)
-    synth = Synthesizer(cfg, payload["model"], voc_params, T=args.T)
+    synth = Synthesizer(cfg, payload["model"], voc_params, T=args.T,
+                        vocoder_name=cfg.model.vocoder_model)
 
     dataset = TextMetaDataset(args.source, cfg)
     batches = list(dataset.batches(args.batch_size))

@@ -107,7 +107,8 @@ def main():
     params = payload[args.params_role]
     voc_params = load_hifigan_params(args.vocoder_ckpt, cfg)
 
-    synth = Synthesizer(cfg, params, voc_params, T=args.T)
+    synth = Synthesizer(cfg, params, voc_params, T=args.T,
+                        vocoder_name=cfg.model.vocoder_model)
     out_dir = os.path.join(cfg.train.result_path + "_cm",
                            f"step_{args.restore_step}_T{args.T}")
     os.makedirs(out_dir, exist_ok=True)

@@ -75,7 +75,8 @@ def main():
 
     payload = restore_checkpoint(cfg.train.ckpt_path, args.restore_step or None)
     voc_params = load_hifigan_params(args.vocoder_ckpt, cfg)
-    synth = Synthesizer(cfg, payload["model"], voc_params, T=args.T)
+    synth = Synthesizer(cfg, payload["model"], voc_params, T=args.T,
+                        vocoder_name=cfg.model.vocoder_model)
 
     out_dir = os.path.join(cfg.train.result_path + "_cm",
                            f"step_{args.restore_step}_T{args.T}_{args.tag}")

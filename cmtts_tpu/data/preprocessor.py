@@ -281,6 +281,24 @@ class Preprocessor:
         hours = n_frames_total * self.hop / self.sr / 3600
         print(f"preprocessed {len(train)} train / {len(val)} val utterances, "
               f"{hours:.2f} hours")
+
+        if self.speaker_embedder is not None:
+            # t-SNE speaker-embedding scatter (reference
+            # preprocessor.py:220-225 + utils/tools.py:630-648)
+            try:
+                from cmtts_tpu.utils_plot import (
+                    load_speaker_embeddings, plot_embedding,
+                    speaker_gender_map)
+
+                emb, ids = load_speaker_embeddings(
+                    os.path.join(self.out_dir, "spker_embed"))
+                genders = speaker_gender_map(self.cfg.data.corpus_path,
+                                             self.dataset_type)
+                p = plot_embedding(self.out_dir, emb, ids, genders)
+                if p:
+                    print(f"speaker-embedding t-SNE plot -> {p}")
+            except Exception as e:  # plotting must never fail the corpus
+                print(f"speaker-embedding plot skipped: {e}")
         return train, val
 
     def _val_prior_names(self):

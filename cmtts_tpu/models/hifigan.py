@@ -209,14 +209,21 @@ def load_hifigan_params(path: str | None, cfg=None):
     reference snapshot, .MISSING_LARGE_BLOBS)."""
     import numpy as np
 
-    if cfg is not None and getattr(cfg.model, "vocoder_model", "HiFi-GAN") \
-            not in ("HiFi-GAN", "hifigan"):
-        # the reference's MelGAN alternative is pulled from torch.hub at
-        # runtime (utils/model.py:159-169) — no checkpoint in the snapshot
-        # and no network egress here
-        raise NotImplementedError(
-            f"vocoder '{cfg.model.vocoder_model}' not supported: MelGAN "
-            "depends on a torch.hub download; use HiFi-GAN")
+    name = "HiFi-GAN" if cfg is None else getattr(
+        cfg.model, "vocoder_model", "HiFi-GAN")
+    if name in ("MelGAN", "melgan"):
+        # the reference pulls MelGAN from torch.hub (utils/model.py:159-169);
+        # no egress here, so the generator loads from a LOCAL checkpoint
+        if not path:
+            raise FileNotFoundError(
+                "MelGAN has no bundled checkpoint (the reference downloads "
+                "it via torch.hub; no network egress here) — pass a local "
+                "melgan-neurips generator .pt via --vocoder_ckpt")
+        from cmtts_tpu.models.melgan import load_melgan_params
+
+        return load_melgan_params(path)
+    if name not in ("HiFi-GAN", "hifigan"):
+        raise NotImplementedError(f"unknown vocoder '{name}'")
     hcfg = HiFiGANConfig() if cfg is None else HiFiGANConfig(
         num_mels=cfg.stft.n_mel_channels, sampling_rate=cfg.stft.sampling_rate)
     if path and path.endswith(".npz"):

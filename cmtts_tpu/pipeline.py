@@ -31,6 +31,22 @@ from cmtts_tpu.models.hifigan import HiFiGANConfig, HiFiGANGenerator
 from cmtts_tpu.train.loop import schedule_from_config
 
 
+def warn_if_bucket_saturated(mel_lens: np.ndarray, mel_bucket: int) -> bool:
+    """Predicted durations are clamped to the mel bucket (matching the
+    reference's max_seq_len cap) — but in batch synthesis that silently
+    clips audio, so say so.  Returns True when saturated."""
+    sat = np.asarray(mel_lens) >= mel_bucket
+    if sat.any():
+        import warnings
+
+        warnings.warn(
+            f"{int(sat.sum())}/{sat.size} utterances saturated the mel "
+            f"bucket ({mel_bucket} frames) — audio may be truncated; "
+            "pass a larger mel_bucket= or raise model.max_seq_len")
+        return True
+    return False
+
+
 class Synthesizer:
     """Bucket-compiled synthesis: call with host numpy token batches."""
 
@@ -45,6 +61,7 @@ class Synthesizer:
         mel_buckets: Sequence[int] = DEFAULT_MEL_BUCKETS,
         compute_dtype=jnp.bfloat16,
         mesh=None,
+        vocoder_name: str = "HiFi-GAN",
     ):
         """``mesh``: optional ``jax.sharding.Mesh`` — batch inputs are
         sharded over its 'data' axis and params replicated, so one call
@@ -60,6 +77,7 @@ class Synthesizer:
                 vocoder_params = jax.device_put(vocoder_params,
                                                 replicated(mesh))
         self.model = CMTTS(cfg)
+        self.vocoder_name = vocoder_name
         self.hifigan = HiFiGANGenerator(HiFiGANConfig(
             num_mels=cfg.stft.n_mel_channels,
             sampling_rate=cfg.stft.sampling_rate))
@@ -80,6 +98,7 @@ class Synthesizer:
         sched = self.sched
         model = self.model
         hifigan = self.hifigan
+        vocoder_name = self.vocoder_name
         sampler = self.sampler
         T = self.T
         cdt = self.compute_dtype
@@ -121,7 +140,15 @@ class Synthesizer:
             mel = sample_mel(denoise, shape, rng, sched, sampler, T=T,
                              ts=default_ts(T) if sampler == "multistep" else None)
             mel_lens = cond_out["mel_lens"]
-            if vocode:
+            if vocode and vocoder_name in ("MelGAN", "melgan"):
+                from cmtts_tpu.models.melgan import MelGANGenerator
+
+                # reference feeds ln-mel / ln(10) = log10-mel to MelGAN
+                # (utils/model.py:189)
+                wav = MelGANGenerator().apply(
+                    {"params": voc_params},
+                    mel / jnp.log(10.0)).astype(jnp.float32)
+            elif vocode:
                 from cmtts_tpu.models.hifigan import hifigan_apply_fused
 
                 interpret = jax.default_backend() == "cpu"
@@ -194,7 +221,9 @@ class Synthesizer:
             speakers, texts, src_lens,
             spker_embeds, jax.random.PRNGKey(seed),
             d_control, p_control, e_control)
-        return (np.asarray(mel), np.asarray(mel_lens),
+        mel_lens = np.asarray(mel_lens)
+        warn_if_bucket_saturated(mel_lens, mel_bucket)
+        return (np.asarray(mel), mel_lens,
                 None if wav is None else np.asarray(wav))
 
     def trim_wavs(self, wav: np.ndarray, mel_lens: np.ndarray):

@@ -83,18 +83,45 @@ def restore_payload_from_dir(path: str) -> dict:
     return ckptr.restore(os.path.abspath(path))
 
 
+def _rebuild_like(template: Any, restored: Any) -> Any:
+    """Rebuild ``template``'s pytree structure (NamedTuples and all) from
+    an orbax-restored plain-container tree, matching NamedTuple fields BY
+    NAME (orbax serializes them as dicts keyed by field name).  Immune to
+    leaf-order / field-order drift across optax versions."""
+    if restored is None:
+        # orbax drops empty containers (optax EmptyState) to None; the
+        # template's node is leafless, so keep it
+        return template
+    if hasattr(template, "_fields"):  # NamedTuple (optax states)
+        if isinstance(restored, dict):
+            vals = [_rebuild_like(getattr(template, f),
+                                  restored[f] if f in restored
+                                  else restored[str(i)])
+                    for i, f in enumerate(template._fields)]
+        else:
+            vals = [_rebuild_like(getattr(template, f), r)
+                    for f, r in zip(template._fields, restored)]
+        return type(template)(*vals)
+    if isinstance(template, dict):
+        return {k: _rebuild_like(v, restored[k]) for k, v in template.items()}
+    if isinstance(template, (tuple, list)):
+        if isinstance(restored, dict):  # some orbax versions key by index
+            restored = [restored[str(i)] for i in range(len(template))]
+        return type(template)(_rebuild_like(t, r)
+                              for t, r in zip(template, restored))
+    return restored
+
+
 def state_from_payload(payload: dict, tx, n_ema: int) -> CMTrainState:
     import jax.numpy as jnp
 
     from cmtts_tpu.train.state import CMTrainState
 
-    # orbax restores optax NamedTuple states as plain dicts; rebuild the
-    # optimizer-state structure against a freshly initialized template
-    # (field order == alphabetical key order for optax's states)
+    # orbax restores optax NamedTuple states as plain dicts keyed by field
+    # name; rebuild against a freshly initialized template by field NAME
+    # (not leaf order, which is brittle across optax versions)
     target = tx.init(payload["model"])
-    opt_state = jax.tree_util.tree_unflatten(
-        jax.tree_util.tree_structure(target),
-        jax.tree_util.tree_leaves(payload["opt"]))
+    opt_state = _rebuild_like(target, payload["opt"])
 
     return CMTrainState(
         step=jnp.asarray(payload["step"], jnp.int32),

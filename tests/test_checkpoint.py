@@ -56,3 +56,61 @@ def test_checkpoint_multiple_steps(tmp_path):
     assert restore_checkpoint(str(tmp_path), 1)["step"] == 1
     with pytest.raises(FileNotFoundError):
         restore_checkpoint(str(tmp_path), 3)
+
+
+def test_rebuild_like_by_field_name():
+    """Optimizer-state restore must match NamedTuple fields by NAME, not
+    leaf order — optax field order can drift across versions (the
+    restored orbax form is a dict keyed by field name)."""
+    from cmtts_tpu.train.checkpoint import _rebuild_like
+
+    state, tx = _tiny_state()
+    target = tx.init(state.params)
+
+    def to_plain(node):
+        if hasattr(node, "_fields"):
+            # reversed key order: an order-dependent rebuild would
+            # scramble mu/nu/count
+            return {f: to_plain(getattr(node, f))
+                    for f in reversed(node._fields)}
+        if isinstance(node, dict):
+            return {k: to_plain(v) for k, v in node.items()}
+        if isinstance(node, (tuple, list)):
+            return [to_plain(v) for v in node]
+        return np.asarray(node)
+
+    # make leaves distinguishable so a mu/nu swap would be caught
+    filled = jax.tree_util.tree_map(
+        lambda x: jnp.full_like(jnp.asarray(x, jnp.float32),
+                                float(np.asarray(x).size)), target)
+    rebuilt = _rebuild_like(target, to_plain(filled))
+    assert type(rebuilt) is type(target)
+    flat_t = jax.tree_util.tree_leaves_with_path(filled)
+    flat_r = jax.tree_util.tree_leaves_with_path(rebuilt)
+    assert len(flat_t) == len(flat_r)
+    for (pt, vt), (pr, vr) in zip(flat_t, flat_r):
+        assert pt == pr
+        np.testing.assert_allclose(np.asarray(vr), np.asarray(vt))
+
+
+def test_rebuild_like_indexed_tuples():
+    from cmtts_tpu.train.checkpoint import _rebuild_like
+
+    template = ({"a": jnp.zeros(2)}, {"b": jnp.ones(3)})
+    restored = {"0": {"a": np.full(2, 5.0)}, "1": {"b": np.full(3, 7.0)}}
+    out = _rebuild_like(template, restored)
+    assert isinstance(out, tuple)
+    np.testing.assert_allclose(out[0]["a"], 5.0)
+    np.testing.assert_allclose(out[1]["b"], 7.0)
+
+
+def test_warn_if_bucket_saturated():
+    from cmtts_tpu.pipeline import warn_if_bucket_saturated
+
+    with pytest.warns(UserWarning, match="saturated the mel bucket"):
+        assert warn_if_bucket_saturated(np.array([10, 32]), 32)
+    import warnings
+
+    with warnings.catch_warnings():
+        warnings.simplefilter("error")
+        assert not warn_if_bucket_saturated(np.array([10, 31]), 32)

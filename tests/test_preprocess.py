@@ -129,3 +129,40 @@ def test_feature_dataset_and_batching(mini_config):
     batches = list(it)
     assert len(batches) == 2
     assert batches[0]["texts"].shape[0] == 1
+
+
+def test_speaker_embedding_tsne_plot(tmp_path):
+    """t-SNE speaker-embedding scatter parity hook (reference
+    preprocessor.py:220-225 + utils/tools.py:630-648)."""
+    import numpy as np
+
+    from cmtts_tpu.utils_plot import (
+        load_speaker_embeddings, plot_embedding, speaker_gender_map)
+
+    emb_dir = tmp_path / "spker_embed"
+    emb_dir.mkdir()
+    rng = np.random.default_rng(0)
+    for i in range(6):
+        np.save(emb_dir / f"p{i:03d}-spker_embed.npy",
+                rng.normal(size=64).astype(np.float32))
+    emb, ids = load_speaker_embeddings(str(emb_dir))
+    assert emb.shape == (6, 64) and ids[0] == "p000"
+
+    corpus = tmp_path / "VCTK-Corpus"
+    corpus.mkdir()
+    (corpus / "speaker-info.txt").write_text(
+        "ID  AGE  GENDER  ACCENTS\n"
+        + "".join(f"p{i:03d}  23  {'M' if i % 2 else 'F'}  English\n"
+                  for i in range(6)))
+    genders = speaker_gender_map(str(corpus), "VCTK")
+    assert genders["p001"] == "M" and genders["p000"] == "F"
+
+    out = plot_embedding(str(tmp_path), emb, ids, genders)
+    import os
+
+    assert out and os.path.isfile(out)
+
+    # tiny-corpus PCA fallback (t-SNE needs perplexity < n)
+    out2 = plot_embedding(str(tmp_path), emb[:2], ids[:2], genders,
+                          filename="tiny.png")
+    assert out2 and os.path.isfile(out2)
