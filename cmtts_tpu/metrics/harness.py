@@ -8,6 +8,7 @@ from __future__ import annotations
 import csv
 import os
 import os.path as osp
+import re
 
 import numpy as np
 
@@ -258,15 +259,28 @@ class CalOneModel:
         self.data_type = data_type
         self.cal_kwargs = cal_kwargs
         if file_find_type is None:
+            # accept both the reference's bare numeric step dirs and this
+            # framework's `step_<n>_T<k>` synthesis dirs
             subs = [osp.join(folder_path, d) for d in os.listdir(folder_path)
-                    if osp.isdir(osp.join(folder_path, d)) and d.isdigit()]
+                    if osp.isdir(osp.join(folder_path, d))
+                    and self._dir_key(d) is not None]
         elif file_find_type == "key_step":
             subs = [osp.join(folder_path, str(s)) for s in key_steps]
         elif file_find_type == "only_end":
             subs = [osp.join(folder_path, str(key_steps[-1]))]
         else:
             raise NotImplementedError(file_find_type)
-        self.subdirectories = sorted(subs, key=lambda p: int(osp.basename(p)))
+        self.subdirectories = sorted(
+            subs, key=lambda p: self._dir_key(osp.basename(p)) or (0, 0))
+
+    @staticmethod
+    def _dir_key(name: str):
+        """(step, T) sort key for `300000` / `step_300000_T1` dir names;
+        None when the name is neither layout."""
+        if name.isdigit():
+            return (int(name), 0)
+        m = re.fullmatch(r"step_(\d+)_T(\d+)", name)
+        return (int(m.group(1)), int(m.group(2))) if m else None
 
     def get_model_metrics_by_list(self, names: list[str]) -> str:
         rows = []
@@ -275,11 +289,11 @@ class CalOneModel:
         for sub in self.subdirectories:
             cal = Cal(syn_folder=sub, data_type=self.data_type,
                       raw_folder=self.raw_folder, **self.cal_kwargs)
-            rows.append([int(osp.basename(sub))] + cal.get_metrics_by_list(names))
+            rows.append([osp.basename(sub)] + cal.get_metrics_by_list(names))
             # write after every step so a crash keeps partial results
             with open(csv_path, "w", newline="") as f:
                 w = csv.writer(f)
                 w.writerow(["train_step"] + names)
-                for row in sorted(rows):
+                for row in sorted(rows, key=lambda r: CalOneModel._dir_key(str(r[0])) or (0, 0)):
                     w.writerow(row)
         return csv_path
