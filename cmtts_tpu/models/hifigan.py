@@ -94,45 +94,65 @@ class HiFiGANGenerator(nn.Module):
 
 def hifigan_apply_fused(params: dict, mel, cfg: HiFiGANConfig | None = None,
                         mrf_pallas_max_c: int = 64, interpret: bool = False,
-                        pallas_dtype=jnp.float32):
+                        pallas_dtype=jnp.bfloat16,
+                        pallas_dot_dtype=None):
     """Functional HiFi-GAN forward with Pallas fused-MRF stages.
 
     Same math and same param tree as ``HiFiGANGenerator`` — the
     narrow-channel upsample stages (C <= ``mrf_pallas_max_c``) run their
     entire 18-conv MRF in one Pallas kernel (VMEM-resident, x read once;
-    see cmtts_tpu.ops.mrf_pallas), which is HBM-traffic- not FLOP-bound
-    under XLA.  Wider stages keep the flax path (their fused weights
-    would not fit VMEM and XLA is compute-bound there anyway).
+    see cmtts_tpu.ops.mrf_pallas); the FINAL stage also absorbs the
+    generator head (leaky_relu(0.01) -> conv_post -> tanh), whose XLA
+    form is an N=1 conv plus two full-waveform-length layout copies.
+    Wider stages keep the flax path: profiling shows XLA runs their f32
+    convs as single-pass bf16 MXU ops near the compute roofline, so a
+    fused kernel has nothing left to win there.
 
-    Precision: everything runs in FLOAT32.  Measured on v5e: XLA's bf16
-    1-D convs are ~7x SLOWER than f32 (pathological lowering), and bf16
-    inside the Pallas stages is fast standalone but ~5x slower when
-    embedded in the full vocoder graph (Mosaic mixed-dtype interaction,
-    unresolved) — f32 Pallas is already 1.6x over the flax/XLA baseline.
-    ``pallas_dtype`` stays as a knob for future Mosaic versions.
+    Precision (v5e, profile-driven): XLA-side ops stay f32 (XLA already
+    computes f32 convs with bf16 MXU passes internally); inside the
+    Pallas kernels activations are cast to ``pallas_dtype`` (bf16) and
+    matmul operands to ``pallas_dot_dtype`` (bf16) with f32 accumulation
+    — matching XLA's own conv precision.  The round-1 "bf16 embedded"
+    regression came from casting in XLA before the kernel; in-kernel
+    casts are clean.
     """
-    from cmtts_tpu.ops.mrf_pallas import fused_mrf_stage, pack_mrf_params
+    from cmtts_tpu.ops.mrf_pallas import (
+        fused_mrf_stage,
+        pack_mrf_params,
+        pack_post_params,
+    )
 
     c = cfg or HiFiGANConfig()
     f32 = jnp.float32
+    if pallas_dot_dtype is None:
+        pallas_dot_dtype = pallas_dtype
     params = jax.tree_util.tree_map(lambda v: v.astype(f32), params)
     x = nn.Conv(c.upsample_initial_channel, (7,), padding="SAME",
                 dtype=f32).apply({"params": params["conv_pre"]},
                                  mel.astype(f32))
+    n_stages = len(c.upsample_rates)
     for i, (rate, kernel) in enumerate(
             zip(c.upsample_rates, c.upsample_kernel_sizes)):
         ch = c.upsample_initial_channel // (2 ** (i + 1))
+        last = i == n_stages - 1
         x = nn.leaky_relu(x, LRELU_SLOPE)
         x = nn.ConvTranspose(ch, (kernel,), strides=(rate,), padding="SAME",
                              dtype=f32).apply({"params": params[f"up_{i}"]}, x)
         if ch <= mrf_pallas_max_c:
             packed = pack_mrf_params(params, i, ch,
-                                     c.resblock_kernel_sizes, pallas_dtype)
+                                     c.resblock_kernel_sizes, f32)
+            post = pack_post_params(params, ch, f32) if last else None
             x = fused_mrf_stage(x, packed,
                                 c.resblock_kernel_sizes,
                                 c.resblock_dilation_sizes[0],
                                 interpret=interpret,
-                                compute_dtype=pallas_dtype)
+                                compute_dtype=pallas_dtype,
+                                dot_dtype=pallas_dot_dtype,
+                                post_params=post,
+                                post_k=int(params["conv_post"]["kernel"]
+                                           .shape[0]))
+            if last:
+                return x  # fused head already applied tanh
         else:
             acc = None
             for j, (ks, ds) in enumerate(

@@ -49,10 +49,11 @@ def _receptive_radius(kernel_sizes, dilations) -> int:
     return r
 
 
-def _lrelu(x):
-    # Mosaic can't compare bf16 vectors directly; compare in f32
-    cond = x.astype(jnp.float32) >= 0
-    return jnp.where(cond, x, (LRELU_SLOPE * x.astype(jnp.float32)).astype(x.dtype))
+def _lrelu(x, slope=LRELU_SLOPE):
+    # max-form leaky relu: for 0 < slope < 1, max(x, slope*x) == lrelu(x)
+    # (2 VPU ops vs 3 for compare+select; and jnp.maximum lowers fine on
+    # bf16 where a direct bf16 vector compare does not on this Mosaic)
+    return jnp.maximum(x, x * x.dtype.type(slope))
 
 
 def default_tile(C: int) -> int:
@@ -72,30 +73,43 @@ def _shift(h, off, C, W):
     return h
 
 
-def _conv_same(h, w_flat, bias, k, d, C, W, dtype):
+def _conv_same(h, w_flat, bias, k, d, C, W, dtype, dot_dtype=None):
     """SAME conv on the local buffer (C, W).  Edge positions read zeros —
-    they lie inside the halo and never reach the central TILE."""
+    they lie inside the halo and never reach the central TILE.
+
+    ``dot_dtype``: dtype the matmul OPERANDS are cast to (accumulation
+    stays f32 via preferred_element_type).  bf16 here matches what XLA
+    itself does for f32 convolutions on TPU (single-pass bf16 MXU with
+    f32 accumulate, the default precision) — storage and elementwise math
+    stay in ``dtype``, so this avoids the bf16-activation-storage Mosaic
+    regression seen in round 1 while doubling MXU throughput."""
+    dd = dot_dtype or dtype
     half = (k - 1) // 2
     offs = [(t - half) * d for t in range(k)]
     if C < 128:
         patches = jnp.concatenate([_shift(h, o, C, W) for o in offs], axis=0)
-        out = jnp.dot(w_flat, patches, preferred_element_type=jnp.float32)
+        out = jnp.dot(w_flat.astype(dd), patches.astype(dd),
+                      preferred_element_type=jnp.float32)
     else:
         out = jnp.zeros((C, W), jnp.float32)
         for t, o in enumerate(offs):
-            out = out + jnp.dot(w_flat[:, t * C:(t + 1) * C], _shift(h, o, C, W),
+            out = out + jnp.dot(w_flat[:, t * C:(t + 1) * C].astype(dd),
+                                _shift(h, o, C, W).astype(dd),
                                 preferred_element_type=jnp.float32)
     return (out + bias.astype(jnp.float32)).astype(dtype)
 
 
-def _mrf_body(x, refs, kernel_sizes, dilations, C, W, dtype, mask):
+def _mrf_body(x, refs, kernel_sizes, dilations, C, W, dtype, mask,
+              dot_dtype=None):
     """x (C, W) -> fused MRF output (C, W) (valid only in the center).
 
     ``mask`` (1, W) is 1 where the position lies inside the true sequence
-    [0, L).  Every conv output is re-masked: the stack of SAME convs
-    zero-pads at EVERY layer, so activations outside the sequence must
-    stay exactly zero — conv(0) = bias would otherwise bleed into the
-    edge region through subsequent taps.
+    [0, L), or None for interior tiles whose whole window lies inside the
+    sequence (the mask would be all-ones — skipping it drops 2 VPU
+    multiplies per conv).  When present, every conv output is re-masked:
+    the stack of SAME convs zero-pads at EVERY layer, so activations
+    outside the sequence must stay exactly zero — conv(0) = bias would
+    otherwise bleed into the edge region through subsequent taps.
     """
     n_blocks = len(kernel_sizes)
     acc = None
@@ -105,9 +119,13 @@ def _mrf_body(x, refs, kernel_sizes, dilations, C, W, dtype, mask):
         y = x
         for p, d in enumerate(dilations):
             h = _lrelu(y)
-            h = _conv_same(h, w1[p], b1[p], k, d, C, W, dtype) * mask
+            h = _conv_same(h, w1[p], b1[p], k, d, C, W, dtype, dot_dtype)
+            if mask is not None:
+                h = h * mask
             h = _lrelu(h)
-            h = _conv_same(h, w2[p], b2[p], k, 1, C, W, dtype) * mask
+            h = _conv_same(h, w2[p], b2[p], k, 1, C, W, dtype, dot_dtype)
+            if mask is not None:
+                h = h * mask
             y = y + h
         acc = y if acc is None else acc + y
     return (acc / n_blocks).astype(dtype)
@@ -115,10 +133,12 @@ def _mrf_body(x, refs, kernel_sizes, dilations, C, W, dtype, mask):
 
 @functools.partial(jax.jit, static_argnames=("kernel_sizes", "dilations",
                                              "tile", "interpret",
-                                             "compute_dtype"))
+                                             "compute_dtype", "dot_dtype",
+                                             "post_k"))
 def fused_mrf_stage(x, stage_params_packed, kernel_sizes=(3, 7, 11),
                     dilations=(1, 3, 5), tile: int | None = None,
-                    interpret: bool = False, compute_dtype=None):
+                    interpret: bool = False, compute_dtype=None,
+                    dot_dtype=None, post_params=None, post_k: int = 7):
     """Apply one fused MRF stage.
 
     x: (B, L, C) channels-last (the generator's layout).
@@ -126,13 +146,22 @@ def fused_mrf_stage(x, stage_params_packed, kernel_sizes=(3, 7, 11),
     ``compute_dtype``: in-VMEM activation dtype (defaults to x.dtype).
     Casting INSIDE the kernel keeps the XLA-side transpose/pad in the
     input dtype — an f32->bf16 cast fused into the pre-kernel relayout
-    measured pathologically slow on v5e.
-    Returns (B, L, C) in x.dtype.
+    measured pathologically slow on v5e (round-1 "bf16 embedded"
+    regression; resolved by in-kernel casts).
+    ``post_params``: optional ``(w_flat (1, post_k*C), bias (1, 1))`` from
+    ``pack_post_params`` — fuses the generator head
+    (leaky_relu(0.01) -> conv_post k=7 -> tanh, reference
+    hifigan/models.py:166-173) into this kernel, and the waveform
+    (B, L) is returned instead of the stage output.  XLA's standalone
+    head is pathological (N=1 conv + two full-length layout copies).
+    Returns (B, L, C) in x.dtype, or (B, L) when post_params is given.
     """
     B, L, C = x.shape
     dtype = x.dtype
     compute_dtype = compute_dtype or dtype
     H = _receptive_radius(kernel_sizes, dilations)
+    if post_params is not None:
+        H += (post_k - 1) // 2
     H = int(math.ceil(H / 128) * 128)
     TILE = tile or default_tile(C)
     TILE = min(TILE, int(math.ceil(L / 128) * 128))
@@ -141,11 +170,15 @@ def fused_mrf_stage(x, stage_params_packed, kernel_sizes=(3, 7, 11),
     W = TILE + 2 * H
 
     # channels-first + halo pad (one XLA relayout; the kernel then reads
-    # x exactly once)
+    # x exactly once).  NOTE: a channels-last kernel (which would avoid
+    # the relayout) is blocked on this Mosaic version — DMA slices with a
+    # minor-most dim < 128 (C=32/64) fail "must be aligned to tiling".
     xt = jnp.transpose(x, (0, 2, 1))
     xt = jnp.pad(xt, ((0, 0), (0, 0), (H, H + Lp - L)))
 
     n_blocks = len(kernel_sizes)
+    post = post_params is not None
+    extra = tuple(post_params) if post else ()
 
     def kernel(x_hbm, *refs):
         b = pl.program_id(0)
@@ -158,13 +191,32 @@ def fused_mrf_stage(x, stage_params_packed, kernel_sizes=(3, 7, 11),
                 x_hbm.at[b, :, pl.ds(t * TILE, W)], x_vmem, sem)
             dma.start()
             dma.wait()
-            # global padded coordinate of each local position
-            pos = jax.lax.broadcasted_iota(jnp.int32, (1, W), 1) + t * TILE
-            mask = ((pos >= H) & (pos < H + L)).astype(compute_dtype)
-            out = _mrf_body(x_vmem[:].astype(compute_dtype), weight_vals,
-                            kernel_sizes, dilations, C, W, compute_dtype,
-                            mask)
-            out_ref[0] = out[:, H: H + TILE].astype(dtype)
+            xin = x_vmem[:].astype(compute_dtype)
+
+            def run(mask):
+                out = _mrf_body(xin, weight_vals[:4 * n_blocks],
+                                kernel_sizes, dilations, C, W, compute_dtype,
+                                mask, dot_dtype)
+                if post:
+                    w_post, b_post = weight_vals[4 * n_blocks:]
+                    h = _lrelu(out, 0.01)
+                    wav = _conv_same(h, w_post, b_post, post_k, 1, C, W,
+                                     compute_dtype, dot_dtype)
+                    return jnp.tanh(
+                        wav[:1, H: H + TILE].astype(jnp.float32)).astype(dtype)
+                return out[:, H: H + TILE].astype(dtype)
+
+            def edge_case():
+                # global padded coordinate of each local position
+                pos = jax.lax.broadcasted_iota(jnp.int32, (1, W), 1) \
+                    + t * TILE
+                return run(((pos >= H) & (pos < H + L))
+                           .astype(compute_dtype))
+
+            # interior tiles (window fully inside [0, L)) skip the 2-per-
+            # conv mask multiplies — the mask would be all-ones there
+            interior = (t * TILE >= H) & (t * TILE + TILE + H <= L)
+            out_ref[0] = jax.lax.cond(interior, lambda: run(None), edge_case)
 
         pl.run_scoped(
             body,
@@ -173,19 +225,33 @@ def fused_mrf_stage(x, stage_params_packed, kernel_sizes=(3, 7, 11),
         )
 
     weight_specs = [pl.BlockSpec(memory_space=pltpu.VMEM)
-                    for _ in range(4 * n_blocks)]
+                    for _ in range(4 * n_blocks + len(extra))]
 
+    out_block = (1, 1, TILE) if post else (1, C, TILE)
+    out_shape = (B, 1, Lp) if post else (B, C, Lp)
     out = pl.pallas_call(
         kernel,
         grid=(B, n_tiles),
         in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)] + weight_specs,
-        out_specs=pl.BlockSpec((1, C, TILE), lambda b, t: (b, 0, t),
+        out_specs=pl.BlockSpec(out_block, lambda b, t: (b, 0, t),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((B, C, Lp), dtype),
+        out_shape=jax.ShapeDtypeStruct(out_shape, dtype),
         interpret=interpret,
-    )(xt, *stage_params_packed)
+    )(xt, *stage_params_packed, *extra)
 
+    if post:
+        return out[:, 0, :L]
     return jnp.transpose(out[:, :, :L], (0, 2, 1))
+
+
+def pack_post_params(gen_params: dict, C: int, dtype=jnp.float32):
+    """Flatten the conv_post params into the fused head's layout:
+    w_flat[(0), t*C + i] = K[t, i, 0] (tap-major rows, matching the patch
+    matrix)."""
+    k = gen_params["conv_post"]["kernel"]  # (k, C, 1)
+    w = jnp.transpose(k, (2, 0, 1)).reshape(1, -1).astype(dtype)
+    b = gen_params["conv_post"]["bias"].reshape(1, 1).astype(dtype)
+    return (w, b)
 
 
 def pack_mrf_params(gen_params: dict, stage: int, C: int,
