@@ -114,7 +114,7 @@ def main():
         "mel_frames_per_sec_per_chip_T1": fps1,
         "batch": 8,
         "audio_sec_per_iter": audio_sec,
-        "compute_dtype": "bf16 denoiser / f32 vocoder",
+        "compute_dtype": "bf16 denoiser / bf16-dot pallas vocoder",
         "device": str(jax.devices()[0]),
     }
     # T=2/T=4 extras only if the T=1 pass left budget (each costs a fresh

@@ -122,9 +122,26 @@ class VarianceEmbeddingConfig:
 
 
 @dataclass(frozen=True)
+class DiscriminatorConfig:
+    """JCU discriminator layer plan for the legacy DiffGAN-TTS path
+    (reference ``model.yaml`` discriminator block; the module itself is
+    supplied by :mod:`cmtts_tpu.models.discriminator` — absent from the
+    reference snapshot)."""
+
+    n_layer: int = 3
+    n_uncond_layer: int = 2
+    n_cond_layer: int = 2
+    n_channels: tuple[int, ...] = (64, 128, 512, 128, 1)
+    kernel_sizes: tuple[int, ...] = (3, 5, 5, 5, 3)
+    strides: tuple[int, ...] = (1, 2, 2, 1, 1)
+
+
+@dataclass(frozen=True)
 class ModelConfig:
     transformer: TransformerConfig = field(default_factory=TransformerConfig)
     denoiser: DenoiserConfig = field(default_factory=DenoiserConfig)
+    discriminator: DiscriminatorConfig = field(
+        default_factory=DiscriminatorConfig)
     variance_predictor: VariancePredictorConfig = field(
         default_factory=VariancePredictorConfig
     )
@@ -142,7 +159,8 @@ class ModelConfig:
 
 @dataclass(frozen=True)
 class LossConfig:
-    """Variance-loss lambdas (reference ``train.yaml`` loss)."""
+    """Variance-loss lambdas (reference ``train.yaml`` loss) plus the
+    legacy DiffGAN-TTS adversarial lambdas (train.yaml:29-44)."""
 
     dur_loss: str = "mse"
     pitch_loss: str = "l1"
@@ -152,6 +170,12 @@ class LossConfig:
     lambda_ph_dur: float = 1.0
     lambda_word_dur: float = 0.0
     lambda_sent_dur: float = 1.0
+    adv_loss_mode: str = "lsgan"
+    lambda_d: float = 0.1
+    lambda_p: float = 0.1
+    lambda_e: float = 0.1
+    lambda_fm: float = 10.0
+    lambda_fm_shallow: float = 0.001
 
 
 @dataclass(frozen=True)
@@ -330,9 +354,20 @@ def config_from_dicts(
         energy_quantization=ve.get("energy_quantization", "linear"),
     )
 
+    dc = model.get("discriminator", {})
+    discriminator = DiscriminatorConfig(
+        n_layer=int(dc.get("n_layer", 3)),
+        n_uncond_layer=int(dc.get("n_uncond_layer", 2)),
+        n_cond_layer=int(dc.get("n_cond_layer", 2)),
+        n_channels=tuple(dc.get("n_channels", (64, 128, 512, 128, 1))),
+        kernel_sizes=tuple(dc.get("kernel_sizes", (3, 5, 5, 5, 3))),
+        strides=tuple(dc.get("strides", (1, 2, 2, 1, 1))),
+    )
+
     model_cfg = ModelConfig(
         transformer=transformer,
         denoiser=denoiser,
+        discriminator=discriminator,
         variance_predictor=variance_predictor,
         variance_embedding=variance_embedding,
         multi_speaker=bool(model.get("multi_speaker", False)),
@@ -354,6 +389,12 @@ def config_from_dicts(
         lambda_ph_dur=float(ls.get("lambda_ph_dur", 1.0)),
         lambda_word_dur=float(ls.get("lambda_word_dur", 0.0)),
         lambda_sent_dur=float(ls.get("lambda_sent_dur", 1.0)),
+        adv_loss_mode=ls.get("adv_loss_mode", "lsgan"),
+        lambda_d=float(ls.get("lambda_d", 0.1)),
+        lambda_p=float(ls.get("lambda_p", 0.1)),
+        lambda_e=float(ls.get("lambda_e", 0.1)),
+        lambda_fm=float(ls.get("lambda_fm", 10.0)),
+        lambda_fm_shallow=float(ls.get("lambda_fm_shallow", 0.001)),
     )
 
     cm = train.get("cm", {})
