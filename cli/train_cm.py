@@ -32,6 +32,10 @@ def main():
     parser.add_argument("--total_step", type=int, default=None,
                         help="override total training steps (smoke runs)")
     parser.add_argument("--log_every", type=int, default=None)
+    parser.add_argument("--bf16", action="store_true",
+                        help="run the model forward in bfloat16 (f32 master "
+                             "params/opt/EMA; replaces the reference's "
+                             "loss-scaled fp16 MixedPrecisionTrainer)")
     parser.add_argument("--profile_dir", type=str, default=None,
                         help="capture a jax.profiler trace of steps 3-8 "
                              "into this directory (view with tensorboard)")
@@ -149,8 +153,10 @@ def main():
     state = replicate_state(state, mesh)
 
     _, num_scales = ema_scale_fn(step0)
+    compute_dtype = jnp.bfloat16 if args.bf16 else None
     train_step = make_train_step(model, cfg, tx, num_scales,
-                                 teacher_params=teacher_params)
+                                 teacher_params=teacher_params,
+                                 compute_dtype=compute_dtype)
     synth_step = make_synthesize_step(model, cfg)
 
     step = step0 + 1
@@ -160,7 +166,8 @@ def main():
         if new_scales != num_scales:
             num_scales = new_scales
             train_step = make_train_step(model, cfg, tx, num_scales,
-                                         teacher_params=teacher_params)
+                                         teacher_params=teacher_params,
+                                         compute_dtype=compute_dtype)
             sampler = create_schedule_sampler(
                 cm.schedule_sampler,
                 num_scales + (1 if args.model == "progdist" else 0))

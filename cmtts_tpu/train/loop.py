@@ -65,10 +65,18 @@ def make_apply_fn(model: CMTTS) -> Callable:
     return apply_fn
 
 
+def _cast_floats(tree, dtype):
+    return jax.tree.map(
+        lambda a: a.astype(dtype)
+        if hasattr(a, "dtype") and jnp.issubdtype(a.dtype, jnp.floating)
+        else a, tree)
+
+
 def make_train_step(model: CMTTS, cfg: Config, tx: optax.GradientTransformation,
                     num_scales: int, donate: bool = True,
                     teacher_params=None, remat: bool = False,
-                    microbatch: int | None = None):
+                    microbatch: int | None = None,
+                    compute_dtype=None):
     """Build the jitted train step.
 
     Signature: (state, batch, probs, rng, target_ema) ->
@@ -86,6 +94,14 @@ def make_train_step(model: CMTTS, cfg: Config, tx: optax.GradientTransformation,
     CheckpointFunction (cm_tool/nn.py:142-188): trade FLOPs for HBM so
     bigger mel buckets / batches fit.
 
+    ``compute_dtype`` (e.g. ``jnp.bfloat16``) runs the model forward in
+    that dtype — parameters and float batch inputs are cast at the apply
+    boundary and outputs cast back, so master params, the optimizer, the
+    EMA trees and every loss stay f32 (the TPU-idiomatic replacement for
+    the reference's loss-scaled fp16 ``MixedPrecisionTrainer``,
+    train_util.py / SURVEY §7.8: bf16 needs no loss scaling).  Cast
+    gradients flow back to the f32 leaves through the cast's transpose.
+
     ``microbatch`` (default: ``cfg.train.cm.microbatch``; <=0 disables)
     accumulates gradients over ``B // microbatch`` slices via
     ``lax.scan`` — the TPU-idiomatic replacement for the reference's
@@ -102,6 +118,18 @@ def make_train_step(model: CMTTS, cfg: Config, tx: optax.GradientTransformation,
     sched = schedule_from_config(cfg)
     sil_ids = tuple(sil_phonemes_ids())
     apply_fn = make_apply_fn(model)
+    if compute_dtype is not None:
+        base_apply = apply_fn
+
+        def apply_fn(params, x_scaled, rescaled_t, batch, rng, deterministic):  # noqa: F811
+            out, cond = base_apply(
+                _cast_floats(params, compute_dtype),
+                x_scaled.astype(compute_dtype),
+                rescaled_t,
+                _cast_floats(batch, compute_dtype),
+                rng, deterministic)
+            return (out.astype(jnp.float32),
+                    _cast_floats(cond, jnp.float32))
     if remat:
         apply_fn = jax.checkpoint(
             apply_fn, static_argnums=(5,),

@@ -111,6 +111,32 @@ def test_train_step_runs_and_updates(train_setup):
     np.testing.assert_allclose(np.asarray(e0), expected_e, rtol=1e-5, atol=1e-7)
 
 
+def test_train_step_bf16_compute(train_setup):
+    """compute_dtype=bf16: forward in bfloat16 with f32 master params —
+    loss lands near the f32 loss, grads flow, all state stays f32."""
+    cfg, model, tx, state, batch = train_setup
+    rng = jax.random.PRNGKey(42)
+    probs = jnp.asarray(create_schedule_sampler("linear12", 3).probs())
+
+    step32 = make_train_step(model, cfg, tx, num_scales=3, donate=False)
+    _, m32 = step32(state, batch, probs, rng, jnp.asarray(0.95))
+
+    step16 = make_train_step(model, cfg, tx, num_scales=3, donate=False,
+                             compute_dtype=jnp.bfloat16)
+    s16, m16 = step16(state, batch, probs, rng, jnp.asarray(0.95))
+
+    l32, l16 = float(m32["loss"]), float(m16["loss"])
+    assert np.isfinite(l16)
+    assert abs(l16 - l32) / max(abs(l32), 1e-6) < 0.05
+    # master params / optimizer / EMA remain f32 and actually moved
+    leaves = jax.tree_util.tree_leaves(
+        (s16.params, s16.ema_params, s16.target_params))
+    assert all(a.dtype == jnp.float32 for a in leaves)
+    p0 = state.params["denoiser"]["out_proj"]["kernel"]
+    p1 = s16.params["denoiser"]["out_proj"]["kernel"]
+    assert np.abs(np.asarray(p1 - p0)).max() > 0
+
+
 def test_train_step_with_donation(train_setup):
     """The production path donates the whole state (donate_argnums=(0,)).
 
