@@ -93,20 +93,25 @@ class HiFiGANGenerator(nn.Module):
 
 
 def hifigan_apply_fused(params: dict, mel, cfg: HiFiGANConfig | None = None,
-                        mrf_pallas_max_c: int = 64, interpret: bool = False,
+                        mrf_pallas_max_c: int | None = None,
+                        interpret: bool = False,
                         pallas_dtype=jnp.bfloat16,
                         pallas_dot_dtype=None):
     """Functional HiFi-GAN forward with Pallas fused-MRF stages.
 
-    Same math and same param tree as ``HiFiGANGenerator`` — the
-    narrow-channel upsample stages (C <= ``mrf_pallas_max_c``) run their
-    entire 18-conv MRF in one Pallas kernel (VMEM-resident, x read once;
-    see cmtts_tpu.ops.mrf_pallas); the FINAL stage also absorbs the
+    Same math and same param tree as ``HiFiGANGenerator`` — the upsample
+    stages with C <= ``mrf_pallas_max_c`` run their entire 18-conv MRF
+    in one Pallas kernel (VMEM-resident, x read once; see
+    cmtts_tpu.ops.mrf_pallas); the FINAL stage also absorbs the
     generator head (leaky_relu(0.01) -> conv_post -> tanh), whose XLA
     form is an N=1 conv plus two full-waveform-length layout copies.
-    Wider stages keep the flax path: profiling shows XLA runs their f32
-    convs as single-pass bf16 MXU ops near the compute roofline, so a
-    fused kernel has nothing left to win there.
+    ``mrf_pallas_max_c=None`` picks the cap by batch size (measured on
+    v5e): single-sample synthesis also fuses the C=128 stage (35.6 vs
+    38.4 ms), while batched synthesis stops at C=64 — XLA's batched
+    C=128 convs beat the kernel's per-item tile-512 grid there (69.7 vs
+    75.1 ms at B=8).  Stage 0 (C=256) always keeps the flax path — its
+    fused weights (~33 MB f32) exceed VMEM and its runtime share is
+    small.
 
     Precision (v5e, profile-driven): XLA-side ops stay f32 (XLA already
     computes f32 convs with bf16 MXU passes internally); inside the
@@ -124,6 +129,8 @@ def hifigan_apply_fused(params: dict, mel, cfg: HiFiGANConfig | None = None,
 
     c = cfg or HiFiGANConfig()
     f32 = jnp.float32
+    if mrf_pallas_max_c is None:
+        mrf_pallas_max_c = 128 if mel.shape[0] == 1 else 64
     if pallas_dot_dtype is None:
         pallas_dot_dtype = pallas_dtype
     params = jax.tree_util.tree_map(lambda v: v.astype(f32), params)

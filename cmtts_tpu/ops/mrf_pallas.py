@@ -59,8 +59,10 @@ def _lrelu(x, slope=LRELU_SLOPE):
 def default_tile(C: int) -> int:
     """Length-tile keeping all per-tile buffers within VMEM (with margin:
     Mosaic's scoped-vmem stack for the patch matmuls runs ~2x the naive
-    buffer estimate at higher matmul precisions)."""
-    return {512: 1024, 256: 2048, 128: 2048, 64: 2048}.get(C, 2048)
+    buffer estimate at higher matmul precisions).  C=128 carries ~8 MB of
+    fused weights resident in VMEM — tile 512 is the largest that
+    compiles on v5e (1024 exhausts scoped vmem)."""
+    return {512: 512, 256: 512, 128: 512, 64: 2048}.get(C, 2048)
 
 
 def _shift(h, off, C, W):
@@ -232,7 +234,7 @@ def fused_mrf_stage(x, stage_params_packed, kernel_sizes=(3, 7, 11),
     out = pl.pallas_call(
         kernel,
         grid=(B, n_tiles),
-        in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)] + weight_specs,
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)] + weight_specs,
         out_specs=pl.BlockSpec(out_block, lambda b, t: (b, 0, t),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct(out_shape, dtype),
