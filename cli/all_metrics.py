@@ -22,7 +22,7 @@ def main():
                              "a single results dir (with --single)")
     parser.add_argument("--raw_folder", type=str, required=True)
     parser.add_argument("--data_type", type=str, default="LJSpeech",
-                        choices=["LJSpeech", "VCTK"])
+                        choices=["LJSpeech", "VCTK", "LibriTTS"])
     parser.add_argument("--metrics", nargs="+", required=True,
                         help="e.g. mcd mcd24 mcd_dctmel ffe ssim f0_rmse "
                              "f0_corr mfcc_cos si_sdr fid_mel fid_mfcc "

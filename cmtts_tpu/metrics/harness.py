@@ -45,7 +45,8 @@ class Cal:
         for path in (meta_txt or []):
             with open(path) as f:
                 for line in f:
-                    parts = line.strip().split("|")
+                    # maxsplit keeps raw_text intact when it contains '|'
+                    parts = line.strip().split("|", 3)
                     if len(parts) >= 4:
                         self.text_lookup.setdefault(parts[0], parts[3])
         self.mos_ckpt = mos_ckpt
@@ -63,7 +64,9 @@ class Cal:
                  if f.endswith(".wav") and not f.endswith("_16000.wav")]
         for name in names:
             syn = osp.join(self.syn_folder, name)
-            if self.data_type == "VCTK":
+            if self.data_type in ("VCTK", "LibriTTS"):
+                # speaker-subdir layouts: VCTK `p225_001.wav` -> p225,
+                # LibriTTS `84_121123_000007_000001.wav` -> 84
                 spk = name.split("-")[0].split("_")[0]
                 raw = osp.join(self.raw_folder, spk, name)
             elif self.data_type == "LJSpeech":
@@ -286,10 +289,19 @@ class CalOneModel:
         rows = []
         csv_path = osp.join(self.folder_path,
                             "metrics_" + "_".join(names) + ".csv")
+        kwargs = dict(self.cal_kwargs)
+        mos_tool = None
         for sub in self.subdirectories:
             cal = Cal(syn_folder=sub, data_type=self.data_type,
-                      raw_folder=self.raw_folder, **self.cal_kwargs)
+                      raw_folder=self.raw_folder, **kwargs)
+            # share the expensive lazily-built tools across step dirs:
+            # the resolved ASR callable and the jitted/converted MOS
+            # models load once, not once per subdirectory
+            kwargs["transcriber"] = cal.transcriber
+            if mos_tool is not None:
+                cal._mos_tool = mos_tool
             rows.append([osp.basename(sub)] + cal.get_metrics_by_list(names))
+            mos_tool = cal._mos_tool or mos_tool
             # write after every step so a crash keeps partial results
             with open(csv_path, "w", newline="") as f:
                 w = csv.writer(f)

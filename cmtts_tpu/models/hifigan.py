@@ -185,12 +185,25 @@ def _fold_weight_norm(g, v):
     return g.reshape(norm.shape) * v / np.maximum(norm, 1e-12)
 
 
-def convert_torch_hifigan(state_dict: dict, cfg: HiFiGANConfig) -> dict:
-    """Convert a reference HiFi-GAN generator torch state dict
-    (hifigan/generator_*.pth.tar ["generator"]) into this module's flax
-    params.  Torch Conv1d kernels are (out, in, k); flax wants (k, in, out).
-    Torch ConvTranspose1d kernels are (in, out, k) -> flax (k, in, out)
-    with flipped taps (transpose conv kernel-flip convention)."""
+def unflatten_npz(path: str) -> dict:
+    """`a/b/c` flat npz keys -> nested flax params dict (shared by the
+    HiFi-GAN and MelGAN loaders)."""
+    import numpy as np
+
+    params: dict = {}
+    for k, v in dict(np.load(path)).items():
+        node = params
+        parts = k.split("/")
+        for p in parts[:-1]:
+            node = node.setdefault(p, {})
+        node[parts[-1]] = v
+    return params
+
+
+def torch_conv_getters(state_dict: dict):
+    """(get, conv_w, convT_w) over a torch vocoder state dict: weight-norm
+    fold + torch->flax kernel layout.  Conv1d (out,in,k)->(k,in,out);
+    ConvTranspose1d (in,out,k)->(k,in,out) with flipped taps."""
     import numpy as np
 
     def get(name):
@@ -200,13 +213,24 @@ def convert_torch_hifigan(state_dict: dict, cfg: HiFiGANConfig) -> dict:
     def conv_w(prefix):
         g, v = get(prefix + ".weight_g"), get(prefix + ".weight_v")
         w = _fold_weight_norm(g, v) if g is not None else get(prefix + ".weight")
-        return np.transpose(w, (2, 1, 0))  # (out,in,k)->(k,in,out)
+        return np.transpose(w, (2, 1, 0))
 
     def convT_w(prefix):
         g, v = get(prefix + ".weight_g"), get(prefix + ".weight_v")
         w = _fold_weight_norm(g, v) if g is not None else get(prefix + ".weight")
-        w = np.transpose(w, (2, 0, 1))  # (in,out,k)->(k,in,out)
+        w = np.transpose(w, (2, 0, 1))
         return w[::-1].copy()
+
+    return get, conv_w, convT_w
+
+
+def convert_torch_hifigan(state_dict: dict, cfg: HiFiGANConfig) -> dict:
+    """Convert a reference HiFi-GAN generator torch state dict
+    (hifigan/generator_*.pth.tar ["generator"]) into this module's flax
+    params.  Torch Conv1d kernels are (out, in, k); flax wants (k, in, out).
+    Torch ConvTranspose1d kernels are (in, out, k) -> flax (k, in, out)
+    with flipped taps (transpose conv kernel-flip convention)."""
+    get, conv_w, convT_w = torch_conv_getters(state_dict)
 
     params: dict = {
         "conv_pre": {"kernel": conv_w("conv_pre"), "bias": get("conv_pre.bias")},
@@ -254,15 +278,7 @@ def load_hifigan_params(path: str | None, cfg=None):
     hcfg = HiFiGANConfig() if cfg is None else HiFiGANConfig(
         num_mels=cfg.stft.n_mel_channels, sampling_rate=cfg.stft.sampling_rate)
     if path and path.endswith(".npz"):
-        flat = dict(np.load(path))
-        params: dict = {}
-        for k, v in flat.items():
-            node = params
-            parts = k.split("/")
-            for p in parts[:-1]:
-                node = node.setdefault(p, {})
-            node[parts[-1]] = v
-        return params
+        return unflatten_npz(path)
     if path and (path.endswith(".pt") or path.endswith(".pth.tar")):
         import torch
 

@@ -102,9 +102,7 @@ def convert_torch_melgan(state_dict: dict, cfg: MelGANConfig | None = None
     into this module's flax params.  Accepts either the bare generator
     state dict or one nested under ``mel2wav``/``model_g``/``generator``.
     """
-    import numpy as np
-
-    from cmtts_tpu.models.hifigan import _fold_weight_norm
+    from cmtts_tpu.models.hifigan import torch_conv_getters
 
     cfg = cfg or MelGANConfig()
     for nest in ("mel2wav", "model_g", "generator", "netG"):
@@ -113,20 +111,7 @@ def convert_torch_melgan(state_dict: dict, cfg: MelGANConfig | None = None
                           if k.startswith(nest + ".")}
             break
 
-    def get(name):
-        w = state_dict.get(name)
-        return None if w is None else np.asarray(w)
-
-    def conv_w(prefix):
-        g, v = get(prefix + ".weight_g"), get(prefix + ".weight_v")
-        w = _fold_weight_norm(g, v) if g is not None else get(prefix + ".weight")
-        return np.transpose(w, (2, 1, 0))  # (out,in,k)->(k,in,out)
-
-    def convT_w(prefix):
-        g, v = get(prefix + ".weight_g"), get(prefix + ".weight_v")
-        w = _fold_weight_norm(g, v) if g is not None else get(prefix + ".weight")
-        w = np.transpose(w, (2, 0, 1))  # (in,out,k)->(k,in,out)
-        return w[::-1].copy()
+    get, conv_w, convT_w = torch_conv_getters(state_dict)
 
     # walk the torch nn.Sequential indices exactly as the generator
     # builds them: [pad, conv] + per stage [lrelu, convT, res*n] +
@@ -167,15 +152,9 @@ def load_melgan_params(path: str | None, cfg: MelGANConfig | None = None
 
     cfg = cfg or MelGANConfig()
     if path and path.endswith(".npz"):
-        flat = dict(np.load(path))
-        params: dict = {}
-        for k, v in flat.items():
-            node = params
-            parts = k.split("/")
-            for p in parts[:-1]:
-                node = node.setdefault(p, {})
-            node[parts[-1]] = v
-        return params
+        from cmtts_tpu.models.hifigan import unflatten_npz
+
+        return unflatten_npz(path)
     if path:
         import torch
 

@@ -122,11 +122,18 @@ def make_train_step(model: CMTTS, cfg: Config, tx: optax.GradientTransformation,
         base_apply = apply_fn
 
         def apply_fn(params, x_scaled, rescaled_t, batch, rng, deterministic):  # noqa: F811
+            # batch targets stay f32 on purpose: pitch/energy bucketize on
+            # the TARGET values during teacher forcing, and bf16's ~3
+            # decimal digits can flip values near a bin boundary into the
+            # neighboring bucket — the same reason pipeline.py keeps the
+            # conditioning net f32 at inference.  bf16 params + f32
+            # inputs promote the (small) cond net back to f32 compute;
+            # the denoiser (the FLOPs) runs bf16 from x_scaled onward.
             out, cond = base_apply(
                 _cast_floats(params, compute_dtype),
                 x_scaled.astype(compute_dtype),
                 rescaled_t,
-                _cast_floats(batch, compute_dtype),
+                batch,
                 rng, deterministic)
             return (out.astype(jnp.float32),
                     _cast_floats(cond, jnp.float32))
