@@ -58,6 +58,28 @@ def test_checkpoint_multiple_steps(tmp_path):
         restore_checkpoint(str(tmp_path), 3)
 
 
+def test_checkpoint_roundtrip_mesh_replicated(tmp_path):
+    """Save a state whose arrays live replicated on the 8-device mesh
+    (the production layout during training) and restore it — orbax must
+    handle sharded jax.Arrays, and the payload must equal the host copy."""
+    from cmtts_tpu.parallel.sharding import make_mesh, replicate_state
+
+    state, tx = _tiny_state(step=3)
+    mesh = make_mesh()
+    state = replicate_state(state, mesh)
+    path = save_checkpoint(str(tmp_path), state, None)
+    assert os.path.isdir(path)
+
+    payload = restore_checkpoint(str(tmp_path))
+    np.testing.assert_allclose(
+        payload["model"]["layer"]["w"],
+        np.arange(6, dtype=np.float32).reshape(2, 3))
+    restored = state_from_payload(payload, tx, n_ema=3)
+    # restored state replicates back onto the mesh and keeps training
+    restored = replicate_state(restored, mesh)
+    assert int(restored.step) == 3
+
+
 def test_rebuild_like_by_field_name():
     """Optimizer-state restore must match NamedTuple fields by NAME, not
     leaf order — optax field order can drift across versions (the

@@ -153,6 +153,34 @@ def test_cal_harness(results_tree):
     assert 0 <= vals[1] <= 1
 
 
+def test_cal_file_match_libritts(tmp_path):
+    """LibriTTS speaker-subdir layout: `84_121123_..._0001.wav` -> raw
+    under raw_folder/84/ (same matching family as VCTK)."""
+    raw = tmp_path / "raw" / "84"
+    syn = tmp_path / "syn"
+    raw.mkdir(parents=True)
+    syn.mkdir()
+    name = "84_121123_000007_000001.wav"
+    w = tone(220.0, dur=0.3)
+    write_wav(str(raw / name), w, SR)
+    write_wav(str(syn / name), w, SR)
+    cal = Cal(str(syn), data_type="LibriTTS",
+              raw_folder=str(tmp_path / "raw"))
+    assert cal.syn2label == {str(syn / name): str(raw / name)}
+
+
+def test_cal_meta_txt_keeps_piped_raw_text(tmp_path):
+    """raw_text may contain '|' — maxsplit parsing keeps it whole
+    (reference fill_base_name2text, all_metrics.py:233-254)."""
+    syn = tmp_path / "syn"
+    syn.mkdir()
+    meta = tmp_path / "val.txt"
+    meta.write_text('utt1|spk|{HH AH0}|he said "this | that"\n')
+    cal = Cal(str(syn), data_type="LJSpeech", raw_folder=str(tmp_path),
+              meta_txt=[str(meta)])
+    assert cal.text_lookup["utt1"] == 'he said "this | that"'
+
+
 def test_cal_one_model_csv(results_tree):
     root = results_tree
     tool = CalOneModel(str(root / "syn"), raw_folder=str(root / "raw"),
