@@ -47,6 +47,9 @@ def create_argparser():
         use_scale_shift_norm=True, resblock_updown=False,
         use_new_attention_order=False, learn_sigma=False,
         weight_schedule="karras", out_dir="./image_samples",
+        # accepted for reference-command-line compatibility; no-ops on
+        # TPU (bf16 replaces fp16, remat replaces torch checkpointing)
+        use_fp16=False, use_checkpoint=False, loss_norm="lpips",
     )
     p = argparse.ArgumentParser()
     for k, v in defaults.items():
@@ -120,24 +123,26 @@ def main():
     def apply_fn(p, x, t, y=None):
         return model.apply({"params": p}, x, t, y)
 
+    @jax.jit
+    def draw(p, rng_s, y):
+        return karras_sample_image(
+            apply_fn, p,
+            (args.batch_size, args.image_size, args.image_size, 3),
+            rng_s, sched, sampler=args.sampler, steps=args.steps, ts=ts,
+            clip_denoised=args.clip_denoised, s_churn=args.s_churn,
+            s_tmin=args.s_tmin, s_tmax=args.s_tmax, s_noise=args.s_noise,
+            model_kwargs=None if y is None else {"y": y})
+
     all_images, all_labels = [], []
     n_done = 0
     while n_done < args.num_samples:
         rng, s1, s2 = jax.random.split(rng, 3)
-        model_kwargs = {}
-        if args.class_cond:
-            model_kwargs["y"] = jax.random.randint(
-                s2, (args.batch_size,), 0, NUM_CLASSES)
-        sample = karras_sample_image(
-            apply_fn, params,
-            (args.batch_size, args.image_size, args.image_size, 3),
-            s1, sched, sampler=args.sampler, steps=args.steps, ts=ts,
-            clip_denoised=args.clip_denoised, s_churn=args.s_churn,
-            s_tmin=args.s_tmin, s_noise=args.s_noise,
-            model_kwargs=model_kwargs)
+        y = jax.random.randint(s2, (args.batch_size,), 0, NUM_CLASSES) \
+            if args.class_cond else None
+        sample = draw(params, s1, y)
         all_images.append(to_uint8(sample))
         if args.class_cond:
-            all_labels.append(np.asarray(model_kwargs["y"]))
+            all_labels.append(np.asarray(y))
         n_done += args.batch_size
         print(f"created {n_done} samples")
 

@@ -22,19 +22,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from cmtts_tpu.cm.karras import (
-    KarrasSchedule,
-    append_dims,
-    get_sigmas_karras,
-)
-from cmtts_tpu.cm.sampling import (
-    default_ts,
-    sample_euler,
-    sample_heun,
-    sample_onestep,
-    sample_our_multistep,
-    stochastic_iterative,
-)
+from cmtts_tpu.cm.karras import KarrasSchedule, append_dims
+from cmtts_tpu.cm.sampling import sample_mel
 
 
 def make_image_denoise_fn(apply_fn, params, sched: KarrasSchedule,
@@ -63,28 +52,23 @@ def karras_sample_image(apply_fn, params, shape, rng,
                         sched: KarrasSchedule, sampler: str = "heun",
                         steps: int = 40, ts=None, clip_denoised: bool = True,
                         s_churn: float = 0.0, s_tmin: float = 0.0,
-                        s_noise: float = 1.0, model_kwargs=None):
-    """Sample images (B, H, W, 3) in [-1, 1] (image_sample.py:68-85)."""
+                        s_tmax: float = float("inf"), s_noise: float = 1.0,
+                        model_kwargs=None):
+    """Sample images (B, H, W, 3) in [-1, 1] (image_sample.py:68-85).
+
+    Delegates to the shape-generic :func:`cmtts_tpu.cm.sampling.sample_mel`
+    dispatch (same samplers; ``T`` for our_multistep follows the
+    documented ts mapping: len(ts) - 1) and applies the image entry's
+    final clamp (karras_diffusion.py:477 — the TTS entry has no clamp,
+    mels are unbounded).
+    """
     denoise = make_image_denoise_fn(apply_fn, params, sched,
                                     clip_denoised, model_kwargs)
-    rng, sub = jax.random.split(rng)
-    x_T = jax.random.normal(sub, shape, jnp.float32) * sched.sigma_max
-
-    if sampler == "onestep":
-        return sample_onestep(denoise, x_T, sched)
-    if sampler == "our_multistep":
-        return sample_our_multistep(denoise, x_T, sched, len(ts or (0, 0)))
-    if sampler == "multistep":
-        ts = ts or default_ts(2)
-        return stochastic_iterative(denoise, x_T, sched, ts, steps, rng)
-    sigmas = np.asarray(get_sigmas_karras(
-        steps, sched.sigma_min, sched.sigma_max, sched.rho))
-    if sampler == "heun":
-        return sample_heun(denoise, x_T, sigmas, rng, s_churn, s_tmin,
-                           float("inf"), s_noise)
-    if sampler == "euler":
-        return sample_euler(denoise, x_T, sigmas)
-    raise ValueError(f"unknown image sampler '{sampler}'")
+    x0 = sample_mel(denoise, shape, rng, sched, sampler=sampler,
+                    T=(len(ts) - 1 if ts else 1), steps=steps, ts=ts,
+                    s_churn=s_churn, s_tmin=s_tmin, s_noise=s_noise,
+                    s_tmax=s_tmax)
+    return jnp.clip(x0, -1.0, 1.0)
 
 
 def to_uint8(sample: jnp.ndarray) -> np.ndarray:

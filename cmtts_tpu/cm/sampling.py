@@ -165,9 +165,11 @@ def sample_mel(
     s_churn: float = 0.0,
     s_tmin: float = 0.0,
     s_noise: float = 1.0,
+    s_tmax: float = float("inf"),
 ):
     """Draw x_T ~ N(0, sigma_max^2) and run the chosen sampler
-    (karras_sample_tts, karras_diffusion.py:480-577).
+    (karras_sample_tts, karras_diffusion.py:480-577; the image entry
+    karras_sample additionally forwards ``s_tmax``).
 
     ``denoise`` must already close over the (precomputed) conditioning.
     """
@@ -191,10 +193,10 @@ def sample_mel(
         return sample_euler(denoise, x_T, sigmas)
     if sampler == "heun":
         return sample_heun(denoise, x_T, sigmas, rng, s_churn, s_tmin,
-                           float("inf"), s_noise)
+                           s_tmax, s_noise)
     if sampler == "dpm":
         return sample_dpm(denoise, x_T, sigmas, rng, s_churn, s_tmin,
-                          float("inf"), s_noise)
+                          s_tmax, s_noise)
     if sampler == "ancestral":
         return sample_euler_ancestral(denoise, x_T, sigmas, rng)
     raise ValueError(f"unknown sampler {sampler}")

@@ -192,13 +192,18 @@ def test_karras_sample_image_smoke():
 
     sched = _sched()
     for sampler, kw in [("heun", dict(steps=3)), ("euler", dict(steps=3)),
-                        ("onestep", {}),
+                        ("dpm", dict(steps=3)),
+                        ("ancestral", dict(steps=3)), ("onestep", {}),
+                        ("our_multistep", dict(ts=(0, 0, 1))),
                         ("multistep", dict(ts=(0, 1, 2), steps=3))]:
         img = karras_sample_image(apply_fn, params, (2, 8, 8, 3),
                                   jax.random.PRNGKey(1), sched,
                                   sampler=sampler, **kw)
         assert img.shape == (2, 8, 8, 3)
-        assert np.isfinite(np.asarray(img)).all()
+        a = np.asarray(img)
+        assert np.isfinite(a).all()
+        # image entry clamps to [-1, 1] (karras_diffusion.py:477)
+        assert a.min() >= -1.0 and a.max() <= 1.0
         u8 = to_uint8(img)
         assert u8.dtype == np.uint8
 
@@ -222,6 +227,7 @@ def test_image_sample_cli_end_to_end(tmp_path):
          "--num_res_blocks", "1", "--attention_resolutions", "32",
          "--num_samples", "2", "--batch_size", "2", "--sampler", "onestep",
          "--training_mode", "consistency_training",
+         "--use_fp16", "False",  # reference-CLI compat flag, no-op here
          "--out_dir", str(out)],
         capture_output=True, text=True, env=env, timeout=900)
     assert r.returncode == 0, r.stderr[-2000:]
