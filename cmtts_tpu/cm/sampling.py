@@ -15,7 +15,7 @@ from typing import Callable, Sequence
 import jax
 import jax.numpy as jnp
 
-from cmtts_tpu.cm.karras import KarrasSchedule, append_dims, get_sigmas_karras
+from cmtts_tpu.cm.karras import KarrasSchedule, append_dims
 
 DenoiseFn = Callable[[jnp.ndarray, jnp.ndarray], jnp.ndarray]  # (x_t, sigma[B]) -> x0_hat
 
@@ -187,8 +187,12 @@ def sample_mel(
 
     import numpy as np
 
-    sigmas = np.asarray(
-        get_sigmas_karras(steps, sched.sigma_min, sched.sigma_max, sched.rho))
+    # host-side numpy (not jnp): the heun/dpm loops branch on concrete
+    # sigma values (s_tmin <= sigma <= s_tmax), and steps/sigma_* are
+    # static — so the grid must stay concrete even under jit
+    ramp = np.linspace(0.0, 1.0, steps)
+    lo, hi = sched.sigma_min ** (1 / sched.rho), sched.sigma_max ** (1 / sched.rho)
+    sigmas = np.append((hi + ramp * (lo - hi)) ** sched.rho, 0.0)
     if sampler == "euler":
         return sample_euler(denoise, x_T, sigmas)
     if sampler == "heun":
