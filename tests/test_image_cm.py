@@ -235,3 +235,65 @@ def test_image_sample_cli_end_to_end(tmp_path):
     assert len(files) == 1
     arr = np.load(files[0])["arr_0"]
     assert arr.shape == (2, 64, 64, 3) and arr.dtype == np.uint8
+
+
+def test_image_consistency_training_loss_decreases():
+    """CT on a tiny UNet: fused step runs jitted, loss falls, EMA/target
+    move (reference CMTrainLoop semantics over consistency_losses)."""
+    import optax
+
+    from cmtts_tpu.cm.image_train import make_image_train_step
+    from cmtts_tpu.models.unet import ImageUNet, UNetConfig
+    from cmtts_tpu.train.state import create_train_state
+
+    cfg = UNetConfig(image_size=8, in_channels=3, model_channels=32,
+                     out_channels=3, num_res_blocks=1,
+                     attention_resolutions=(), channel_mult=(1,))
+    model = ImageUNet(cfg)
+    params = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 8, 8, 3)),
+                        jnp.zeros((1,)))["params"]
+    tx = optax.radam(1e-3)
+    state = create_train_state(params, tx, n_ema=1)
+    step = make_image_train_step(model, _sched(), num_scales=3, tx=tx,
+                                 donate=False)
+
+    rng = np.random.RandomState(0)
+    batch = {"images": jnp.asarray(
+        np.tile(rng.uniform(-1, 1, (1, 8, 8, 3)), (8, 1, 1, 1)),
+        jnp.float32)}
+    losses = []
+    # fixed key -> fixed (noise, indices) each step: the CT objective
+    # becomes a (slowly moving, EMA-target) regression the optimizer must
+    # drive down; with fresh noise every step the loss is too stochastic
+    # to assert a 30-step trend
+    k = jax.random.PRNGKey(1)
+    for i in range(30):
+        state, m = step(state, batch, k, jnp.asarray(0.95))
+        losses.append(float(m["loss"]))
+    assert np.isfinite(losses).all()
+    assert np.mean(losses[-10:]) < np.mean(losses[:10])
+    assert int(state.step) == 30
+
+
+def test_image_consistency_distillation_runs():
+    """CD with a frozen teacher produces finite per-sample losses."""
+    import optax
+
+    from cmtts_tpu.cm.image_train import make_image_train_step
+    from cmtts_tpu.models.unet import ImageUNet, UNetConfig
+    from cmtts_tpu.train.state import create_train_state
+
+    cfg = UNetConfig(image_size=8, in_channels=3, model_channels=32,
+                     out_channels=3, num_res_blocks=1,
+                     attention_resolutions=(), channel_mult=(1,))
+    model = ImageUNet(cfg)
+    params = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 8, 8, 3)),
+                        jnp.zeros((1,)))["params"]
+    tx = optax.radam(1e-3)
+    state = create_train_state(params, tx, n_ema=1)
+    step = make_image_train_step(model, _sched(), num_scales=4, tx=tx,
+                                 teacher_params=params, loss_norm="l1",
+                                 donate=False)
+    batch = {"images": jnp.zeros((4, 8, 8, 3))}
+    state, m = step(state, batch, jax.random.PRNGKey(2), jnp.asarray(0.95))
+    assert np.isfinite(float(m["loss"]))
