@@ -50,3 +50,26 @@ def test_year_expansion():
     assert normalize_numbers("1984") == "nineteen eighty-four"
     assert normalize_numbers("1900") == "nineteen hundred"
     assert normalize_numbers("2003") == "two thousand three"
+
+
+def test_preprocess_english_edge_inputs():
+    """The single-mode text frontend degrades gracefully: empty or
+    punctuation-only text becomes one {sp}, OOV words without a lexicon
+    or g2p become spn markers — never a crash (reference
+    synthesize.py:168-192 would crash without g2p_en)."""
+    import os
+    import sys
+
+    import numpy as np
+
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "cli"))
+    try:
+        from synthesize import preprocess_english
+    finally:
+        sys.path.pop(0)
+
+    for txt in ("...", "", "hello world", "xyzzyqq word"):
+        seq = np.asarray(preprocess_english(txt, "/nonexistent-lex",
+                                            ["english_cleaners"]))
+        assert seq.ndim == 1 and seq.size >= 1
+        assert (seq > 0).all()
