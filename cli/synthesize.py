@@ -35,11 +35,15 @@ def read_lexicon(lex_path: str) -> dict:
 
 def preprocess_english(text: str, lexicon_path: str, cleaners) -> np.ndarray:
     """Word -> phoneme lookup with {ARPAbet} formatting (reference
-    synthesize.py:168-192); g2p_en fallback is gated on availability,
-    OOV words otherwise become spelled-out characters."""
+    synthesize.py:168-192).  Fallback chain for OOV words: g2p_en when
+    installed, else the built-in rule G2P (cmtts_tpu.text.g2p) — so
+    arbitrary English text synthesizes without any lexicon asset."""
     from cmtts_tpu.text import text_to_sequence
+    from cmtts_tpu.text.cleaners import expand_numbers
+    from cmtts_tpu.text.g2p import g2p as rule_g2p
 
     text = text.rstrip(punctuation)
+    text = expand_numbers(text)
     lexicon = read_lexicon(lexicon_path)
     try:
         from g2p_en import G2p  # optional, not in this environment
@@ -54,7 +58,8 @@ def preprocess_english(text: str, lexicon_path: str, cleaners) -> np.ndarray:
         elif g2p is not None:
             phones += [p for p in g2p(w) if p != " "]
         elif w.strip() and w.strip() not in punctuation:
-            phones += ["spn"]  # unknown word marker
+            ph = rule_g2p(w)
+            phones += ph if ph else ["spn"]
     phones = "{" + "}{".join(phones) + "}"
     phones = re.sub(r"\{[^\w\s]?\}", "{sp}", phones)
     phones = phones.replace("}{", " ")
