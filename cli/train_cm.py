@@ -39,6 +39,13 @@ def main():
     parser.add_argument("--profile_dir", type=str, default=None,
                         help="capture a jax.profiler trace of steps 3-8 "
                              "into this directory (view with tensorboard)")
+    parser.add_argument("--steps_per_call", type=int, default=1,
+                        help="K>1 runs K optimizer steps per dispatch via "
+                             "lax.scan on device (same-bucket batches are "
+                             "windowed together) — amortizes host/tunnel "
+                             "dispatch latency; LSM sampler probabilities "
+                             "then update every K steps instead of every "
+                             "step (reference updates per step)")
     args = parser.parse_args()
 
     import jax
@@ -152,18 +159,65 @@ def main():
     mesh = make_mesh()
     state = replicate_state(state, mesh)
 
+    K = max(1, args.steps_per_call)
+    if K > 1 and cm.scale_mode != "fixed":
+        print("==> steps_per_call forced to 1: progressive scale_mode "
+              "changes num_scales mid-window")
+        K = 1
+
     _, num_scales = ema_scale_fn(step0)
     compute_dtype = jnp.bfloat16 if args.bf16 else None
     train_step = make_train_step(model, cfg, tx, num_scales,
                                  teacher_params=teacher_params,
-                                 compute_dtype=compute_dtype)
+                                 compute_dtype=compute_dtype,
+                                 scan_steps=K if K > 1 else None)
     synth_step = make_synthesize_step(model, cfg)
 
-    step = step0 + 1
+    def shape_key(b):
+        parts = []
+        for k in sorted(b):
+            v = b[k]
+            if isinstance(v, np.ndarray):
+                parts.append((k, v.shape))
+            elif isinstance(v, dict):
+                parts += [(k, kk, vv.shape) for kk, vv in sorted(v.items())]
+        return tuple(parts)
+
+    def windows():
+        """Yield lists of K same-bucket-shape batches (K=1: every batch
+        its own window).  Same shapes -> one compiled scan graph per
+        bucket combination."""
+        if K == 1:
+            for b in batches:
+                yield [b]
+            return
+        queues: dict = {}
+        for b in batches:
+            q = queues.setdefault(shape_key(b), [])
+            q.append(b)
+            if len(q) == K:
+                yield list(q)
+                q.clear()
+
+    def stack_window(bs):
+        out = {}
+        for k, v0 in bs[0].items():
+            if isinstance(v0, np.ndarray):
+                out[k] = np.stack([b[k] for b in bs])
+            elif isinstance(v0, dict):
+                out[k] = {kk: np.stack([b[k][kk] for b in bs]) for kk in v0}
+            else:
+                out[k] = v0
+        return out
+
+    step = step0 + 1  # first step of the upcoming window
     t_last = time.perf_counter()
-    for batch in batches:
+    steps_since_log = 0
+    profiling = False
+    for window in windows():
+        last_step = step + K - 1
         target_ema, new_scales = ema_scale_fn(step)
-        if new_scales != num_scales:
+        if new_scales != num_scales:  # only reachable at K == 1
             num_scales = new_scales
             train_step = make_train_step(model, cfg, tx, num_scales,
                                          teacher_params=teacher_params,
@@ -175,45 +229,65 @@ def main():
         if args.profile_dir:
             # trace a few steady-state steps (reference profile_kv scopes,
             # logger.py:292-316 — here the real deal: XLA op-level trace)
-            if step == step0 + 3:
+            if not profiling and step >= step0 + 1 + 2 * K:
                 jax.profiler.start_trace(args.profile_dir)
-            elif step == step0 + 8:
+                profiling = True
+            elif profiling and step >= step0 + 1 + 7 * K:
                 jax.profiler.stop_trace()
-                print(f"==> profiler trace written to {args.profile_dir}")
+                args.profile_dir = None
+                print("==> profiler trace written")
 
-        clean = {k: v for k, v in batch.items() if k not in ("ids", "raw_texts")}
-        if mesh.devices.size > 1:
-            # a sharded batch must divide the device count (pods); pad by
-            # repeating the last sample — loss weighting is per-sample so
-            # duplicates only slightly re-weight the step
-            clean, _orig = pad_batch_to_multiple(clean, mesh.devices.size)
-        sharded = shard_batch(clean, mesh)
+        cleans = []
+        for b in window:
+            clean = {k: v for k, v in b.items()
+                     if k not in ("ids", "raw_texts")}
+            if mesh.devices.size > 1:
+                # a sharded batch must divide the device count (pods); pad
+                # by repeating the last sample — loss weighting is
+                # per-sample so duplicates only slightly re-weight the step
+                clean, _orig = pad_batch_to_multiple(clean, mesh.devices.size)
+            cleans.append(clean)
         rng, sub = jax.random.split(rng)
         probs = jnp.asarray(sampler.probs())
-        state, metrics = train_step(state, sharded, probs, sub,
-                                    jnp.asarray(target_ema))
+        if K == 1:
+            sharded = shard_batch(cleans[0], mesh)
+            state, metrics = train_step(state, sharded, probs, sub,
+                                        jnp.asarray(target_ema))
+        else:
+            sharded = shard_batch(stack_window(cleans), mesh, leading_axes=1)
+            emas = jnp.asarray([ema_scale_fn(s)[0]
+                                for s in range(step, step + K)])
+            state, metrics = train_step(state, sharded, probs, sub, emas)
 
         if sampler.needs_update:
             # globally sharded per-sample outputs -> full global value on
-            # every host (reference resample.py:117-153 all_gather)
-            sampler.update(gather_per_sample(metrics["indices"]),
-                           gather_per_sample(metrics["loss_per_sample"]))
+            # every host (reference resample.py:117-153 all_gather); for
+            # K>1 the history absorbs all K steps at once
+            sampler.update(gather_per_sample(metrics["indices"]).reshape(-1),
+                           gather_per_sample(
+                               metrics["loss_per_sample"]).reshape(-1))
 
-        if step % log_step == 0:
-            m = {k: float(np.asarray(v)) for k, v in metrics.items()
-                 if np.ndim(v) == 0}
+        steps_since_log += K
+        if last_step // log_step > (step - 1) // log_step:
+            m = {k: float(np.mean(np.asarray(v))) for k, v in metrics.items()
+                 if np.ndim(v) <= (1 if K > 1 else 0)
+                 and k not in ("indices", "loss_per_sample")}
             rng, sub = jax.random.split(rng)
-            _, mel_loss = synth_step(state.target_params, sharded, sub)
+            last_batch = (jax.tree_util.tree_map(lambda x: x[-1], sharded)
+                          if K > 1 else sharded)
+            _, mel_loss = synth_step(state.target_params, last_batch, sub)
             dt = time.perf_counter() - t_last
             t_last = time.perf_counter()
-            logger.logkv("step", step)
+            logger.logkv("step", last_step)
             logger.logkv("mel_loss_onestep", float(mel_loss))
-            logger.logkv("steps_per_sec", log_step / dt)
+            logger.logkv("steps_per_sec", steps_since_log / dt)
+            steps_since_log = 0
             for k, v in m.items():
                 logger.logkv(k, v)
             logger.dumpkvs()
 
-        if step % save_step == 0 or step >= total_step:
+        if (last_step // save_step > (step - 1) // save_step
+                or last_step >= total_step):
             sampler_state = (sampler.state_dict()
                              if hasattr(sampler, "state_dict") else None)
             path = save_checkpoint(cfg.train.ckpt_path, state, sampler_state)
@@ -222,10 +296,10 @@ def main():
                 print("==> DIFFUSION_TRAINING_TEST set; stopping after first save")
                 return
 
-        if step >= total_step:
+        if last_step >= total_step:
             print("==> training complete")
             return
-        step += 1
+        step = last_step + 1
 
 
 if __name__ == "__main__":

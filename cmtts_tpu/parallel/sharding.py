@@ -47,10 +47,16 @@ def replicated(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P())
 
 
-def shard_batch(batch: Any, mesh: Mesh, axis: str = "data") -> Any:
-    """Device-put a host batch pytree with axis-0 sharding.  Non-array
-    leaves (id/raw-text lists) pass through untouched."""
-    sharding = data_sharding(mesh, axis)
+def shard_batch(batch: Any, mesh: Mesh, axis: str = "data",
+                leading_axes: int = 0) -> Any:
+    """Device-put a host batch pytree with batch-axis sharding.  Non-array
+    leaves (id/raw-text lists) pass through untouched.  ``leading_axes``
+    shifts the sharded axis right (e.g. 1 for K-step stacked batches of
+    shape (K, B, ...): the scan axis stays replicated, B is sharded)."""
+    if leading_axes:
+        sharding = NamedSharding(mesh, P(*([None] * leading_axes + [axis])))
+    else:
+        sharding = data_sharding(mesh, axis)
 
     def put(x):
         if isinstance(x, (np.ndarray, jax.Array)) and getattr(x, "ndim", 0) > 0:

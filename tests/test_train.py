@@ -377,3 +377,41 @@ def test_microbatch_indivisible_raises():
     probs = jnp.asarray(create_schedule_sampler("uniform", 3).probs())
     with pytest.raises(ValueError, match="not divisible"):
         step(state, batch, probs, jax.random.PRNGKey(1), jnp.asarray(0.95))
+
+
+def test_scan_steps_matches_sequential(train_setup):
+    """The K-step on-device driver (scan_steps=K) must produce the same
+    state as K sequential single-step dispatches with the same per-step
+    rng stream (the scan splits rng exactly like the host loop would)."""
+    cfg, model, tx, state, batch = train_setup
+    K = 3
+    step1 = make_train_step(model, cfg, tx, num_scales=3, donate=False)
+    stepK = make_train_step(model, cfg, tx, num_scales=3, donate=False,
+                            scan_steps=K)
+    probs = jnp.asarray(create_schedule_sampler("linear12", 3).probs())
+    rng = jax.random.PRNGKey(7)
+    emas = jnp.asarray([0.95, 0.95, 0.95])
+    stacked = jax.tree_util.tree_map(
+        lambda x: jnp.stack([x] * K), batch)
+
+    sK, mK = stepK(state, stacked, probs, rng, emas)
+
+    rngs = jax.random.split(rng, K)
+    s = state
+    for i in range(K):
+        s, m1 = step1(s, batch, probs, rngs[i], jnp.asarray(0.95))
+
+    assert int(sK.step) == int(s.step)
+    assert mK["loss"].shape == (K,)
+    assert mK["indices"].shape == (K, 2)
+    assert mK["loss_per_sample"].shape == (K, 2)
+    np.testing.assert_allclose(float(mK["loss"][-1]), float(m1["loss"]),
+                               rtol=1e-5)
+    for a, b in zip(jax.tree_util.tree_leaves(sK.params),
+                    jax.tree_util.tree_leaves(s.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-5, atol=1e-7)
+    for a, b in zip(jax.tree_util.tree_leaves(sK.target_params),
+                    jax.tree_util.tree_leaves(s.target_params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-5, atol=1e-7)

@@ -1,0 +1,122 @@
+"""Training-throughput microbench: steps/sec at batch 32x768 (full-size
+LJSpeech model, bf16 compute), single-dispatch vs K-step scan driver.
+
+Usage: python tools/bench_train.py [--K 8] [--iters 32] [--batch 32]
+Prints one JSON line per configuration.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--K", type=int, default=8)
+    ap.add_argument("--iters", type=int, default=32,
+                    help="total optimizer steps per timed config")
+    ap.add_argument("--batch", type=int, default=32)
+    ap.add_argument("--t_mel", type=int, default=768)
+    ap.add_argument("--t_txt", type=int, default=96)
+    ap.add_argument("--f32", action="store_true")
+    args = ap.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+
+    from cmtts_tpu.core.config import load_configs
+    from cmtts_tpu.models.cmtts import CMTTS
+    from cmtts_tpu.train.loop import make_train_step
+    from cmtts_tpu.train.state import create_train_state, make_optimizer
+
+    cfg = load_configs("LJSpeech")
+    model = CMTTS(cfg)
+    B, T_txt, T_mel = args.batch, args.t_txt, args.t_mel
+    rng = np.random.RandomState(0)
+    d = np.full((B, T_txt), T_mel // T_txt, np.int32)
+    d[:, -1] += T_mel - int(d.sum(1)[0])
+    mel2ph = np.zeros((B, T_mel), np.int32)
+    pos = 0
+    for i in range(T_txt):
+        mel2ph[:, pos: pos + d[0, i]] = i + 1
+        pos += d[0, i]
+    batch = {
+        "speakers": jnp.zeros(B, jnp.int32),
+        "texts": jnp.asarray(rng.randint(13, 140, (B, T_txt)).astype(np.int32)),
+        "src_lens": jnp.full(B, T_txt, jnp.int32),
+        "mels": jnp.asarray(rng.randn(B, T_mel, 80).astype(np.float32) * 0.5),
+        "mel_lens": jnp.full(B, T_mel, jnp.int32),
+        "mel2ph": jnp.asarray(mel2ph),
+        "d_targets": jnp.asarray(d),
+        "e_targets": jnp.asarray(rng.rand(B, T_txt).astype(np.float32)),
+        "p_targets": {
+            "pitch": jnp.asarray(rng.randint(1, 255, (B, T_mel)).astype(np.int32)),
+            "f0": jnp.asarray(rng.rand(B, T_mel).astype(np.float32) * 2),
+            "uv": jnp.asarray((rng.rand(B, T_mel) > 0.7).astype(np.float32)),
+            "cwt_spec": jnp.asarray(rng.randn(B, T_mel, 10).astype(np.float32)),
+            "f0_mean": jnp.asarray((5 + rng.rand(B)).astype(np.float32)),
+            "f0_std": jnp.asarray((0.5 + rng.rand(B)).astype(np.float32)),
+        },
+    }
+    key = jax.random.PRNGKey(0)
+    variables = model.init(
+        {"params": key, "dropout": key}, batch["mels"], jnp.zeros(B),
+        speakers=batch["speakers"], texts=batch["texts"],
+        src_lens=batch["src_lens"], mel2ph=batch["mel2ph"],
+        d_targets=batch["d_targets"], p_targets=batch["p_targets"],
+        e_targets=batch["e_targets"], deterministic=True)
+    tx = make_optimizer(1e-4)
+    compute_dtype = None if args.f32 else jnp.bfloat16
+    # CM index grid: indices live in [0, num_scales-1) (reference
+    # karras_diffusion.py:213) — probs has num_scales-1 entries
+    probs = jnp.full((2,), 1 / 2)
+
+    # host copy: donation inside each timed config must not eat the
+    # shared init buffers
+    params_host = jax.tree_util.tree_map(np.asarray, variables["params"])
+
+    results = {}
+    for K in (1, args.K):
+        params = jax.tree_util.tree_map(jnp.asarray, params_host)
+        state = create_train_state(params, tx, n_ema=3)
+        step = make_train_step(model, cfg, tx, num_scales=3, donate=True,
+                               compute_dtype=compute_dtype,
+                               scan_steps=K if K > 1 else None)
+        if K > 1:
+            b = jax.tree_util.tree_map(lambda x: jnp.stack([x] * K), batch)
+            ema = jnp.full((K,), 0.95)
+        else:
+            b, ema = batch, jnp.asarray(0.95)
+        n_calls = max(args.iters // K, 2)
+        # warmup/compile
+        state, m = step(state, b, probs, jax.random.PRNGKey(1), ema)
+        float(np.mean(np.asarray(m["loss"])))
+        t0 = time.perf_counter()
+        for i in range(n_calls):
+            state, m = step(state, b, probs, jax.random.fold_in(
+                jax.random.PRNGKey(2), i), ema)
+        loss = float(np.mean(np.asarray(m["loss"])))  # sync
+        dt = time.perf_counter() - t0
+        sps = n_calls * K / dt
+        results[f"K{K}"] = dict(steps_per_sec=round(sps, 2),
+                                ms_per_step=round(1000 / sps, 1),
+                                loss=round(loss, 3))
+        print(json.dumps({"config": f"K={K}", "batch": B, "t_mel": T_mel,
+                          "dtype": "f32" if args.f32 else "bf16",
+                          **results[f"K{K}"]}))
+    if args.K > 1:
+        print(json.dumps({"speedup_scan": round(
+            results[f"K{args.K}"]["steps_per_sec"] /
+            results["K1"]["steps_per_sec"], 2)}))
+
+
+if __name__ == "__main__":
+    main()
