@@ -25,7 +25,9 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 def write_config_root(root: str, repo_cfg_dir: str, val_size: int,
                       batch_size: int, tiny: bool = False,
-                      max_seq_len: int | None = None) -> str:
+                      max_seq_len: int | None = None,
+                      save_step: int | None = None,
+                      log_step: int | None = None) -> str:
     """Copy config/LJSpeech/*.yaml with paths re-pointed into ``root``."""
     import yaml
 
@@ -52,6 +54,10 @@ def write_config_root(root: str, repo_cfg_dir: str, val_size: int,
     train["path"] = {k: os.path.join(root, "output", os.path.basename(v))
                      for k, v in train["path"].items()}
     train["optimizer"]["batch_size"] = batch_size
+    if save_step:
+        train["step"]["save_step"] = save_step
+    if log_step:
+        train["step"]["log_step"] = log_step
     for name, blob in (("preprocess.yaml", pre), ("model.yaml", model),
                        ("train.yaml", train)):
         with open(os.path.join(cfg_dir, name), "w") as f:
@@ -70,6 +76,8 @@ def main():
     ap.add_argument("--words_max", type=int, default=7)
     ap.add_argument("--tiny", action="store_true",
                     help="shrink the model config for CPU smoke runs")
+    ap.add_argument("--save_step", type=int, default=None)
+    ap.add_argument("--log_step", type=int, default=None)
     args = ap.parse_args()
 
     from cmtts_tpu.data.synthcorpus import generate_corpus
@@ -81,7 +89,9 @@ def main():
     repo_cfg = os.path.join(os.path.dirname(os.path.dirname(
         os.path.abspath(__file__))), "config", "LJSpeech")
     cfg_root = write_config_root(args.out, repo_cfg, args.val_size,
-                                 args.batch_size, tiny=args.tiny)
+                                 args.batch_size, tiny=args.tiny,
+                                 save_step=args.save_step,
+                                 log_step=args.log_step)
     print(f"==> {len(names)} utterances under {raw}")
     print(f"==> config root: {cfg_root}")
 

@@ -82,6 +82,11 @@ def main():
     parser.add_argument("--config_root", type=str, default=None)
     parser.add_argument("--vocoder_ckpt", type=str, default=None,
                         help="orbax dir or .npz of HiFi-GAN params")
+    parser.add_argument("--vocoder", type=str, default=None,
+                        choices=["hifigan", "melgan", "griffinlim", "none"],
+                        help="override the config vocoder; 'griffinlim' "
+                             "inverts the mel asset-free (no neural "
+                             "checkpoint needed), 'none' writes mels only")
     parser.add_argument("--pitch_control", type=float, default=1.0)
     parser.add_argument("--energy_control", type=float, default=1.0)
     parser.add_argument("--duration_control", type=float, default=1.0)
@@ -110,7 +115,20 @@ def main():
         raise SystemExit(f"role {args.params_role!r} not in checkpoint "
                          f"(roles: {sorted(payload)})")
     params = payload[args.params_role]
-    voc_params = load_hifigan_params(args.vocoder_ckpt, cfg)
+
+    griffin = None
+    if args.vocoder in ("griffinlim", "none"):
+        voc_params = None
+        if args.vocoder == "griffinlim":
+            from cmtts_tpu.audio.stft import GriffinLim, MelSpectrogram
+
+            griffin = GriffinLim(MelSpectrogram(
+                cfg.stft.sampling_rate, cfg.stft.filter_length,
+                cfg.stft.hop_length, cfg.stft.win_length,
+                cfg.stft.n_mel_channels, cfg.stft.mel_fmin,
+                cfg.stft.mel_fmax))
+    else:
+        voc_params = load_hifigan_params(args.vocoder_ckpt, cfg)
 
     synth = Synthesizer(cfg, params, voc_params, T=args.T,
                         vocoder_name=cfg.model.vocoder_model)
@@ -125,6 +143,11 @@ def main():
             e_control=args.energy_control)
         if wav is not None:
             for i, (w, basename) in enumerate(zip(synth.trim_wavs(wav, mel_lens), ids)):
+                write_wav(os.path.join(out_dir, f"{basename}.wav"), w,
+                          cfg.stft.sampling_rate)
+        elif griffin is not None:
+            for i, basename in enumerate(ids):
+                w = griffin(mel[i, : int(mel_lens[i])])
                 write_wav(os.path.join(out_dir, f"{basename}.wav"), w,
                           cfg.stft.sampling_rate)
         for i, basename in enumerate(ids):

@@ -59,7 +59,8 @@ def main():
         shard_batch)
     from cmtts_tpu.train import kvlogger
     from cmtts_tpu.train.checkpoint import (
-        restore_checkpoint, save_checkpoint, state_from_payload)
+        restore_checkpoint, save_checkpoint, state_from_payload,
+        wait_for_saves)
     from cmtts_tpu.train.ema import create_ema_and_scales_fn
     from cmtts_tpu.train.loop import make_synthesize_step, make_train_step
     from cmtts_tpu.train.resample import create_schedule_sampler
@@ -290,14 +291,19 @@ def main():
                 or last_step >= total_step):
             sampler_state = (sampler.state_dict()
                              if hasattr(sampler, "state_dict") else None)
-            path = save_checkpoint(cfg.train.ckpt_path, state, sampler_state)
-            print(f"==> saved {path}")
+            # async save: the directory write overlaps the next steps
+            # (wait_for_saves before exit / restore keeps it safe)
+            path = save_checkpoint(cfg.train.ckpt_path, state, sampler_state,
+                                   blocking=False)
+            print(f"==> saving {path} (async)")
             if os.environ.get("DIFFUSION_TRAINING_TEST", ""):
                 print("==> DIFFUSION_TRAINING_TEST set; stopping after first save")
+                wait_for_saves()
                 return
 
         if last_step >= total_step:
             print("==> training complete")
+            wait_for_saves()
             return
         step = last_step + 1
 

@@ -143,6 +143,75 @@ def get_mel_from_wav(audio, stft: MelSpectrogram):
     return stft(audio)
 
 
+class GriffinLim:
+    """Mel -> waveform inversion (Griffin-Lim phase recovery, jitted).
+
+    The reference vocodes with HiFi-GAN checkpoints that are missing
+    blobs in this environment (``.MISSING_LARGE_BLOBS:3-5``); this
+    asset-free inverter closes the quality loop: log-mel -> linear
+    magnitude via the mel-basis pseudo-inverse -> N Griffin-Lim
+    iterations with the same centered-Hann STFT the front-end uses.
+    Quality is bounded by phase recovery (no neural vocoder sheen) but
+    is speech-intelligible — sufficient for MCD/FFE/F0 metric gating.
+    """
+
+    def __init__(self, stft: MelSpectrogram, n_iters: int = 60):
+        self.stft = stft
+        self.n_iters = n_iters
+        # regularized pseudo-inverse of the mel basis (513 x 80)
+        mb = stft.mel_basis.astype(np.float64)
+        self.inv_basis = np.linalg.pinv(mb, rcond=1e-8).astype(np.float32)
+
+    def _ola(self, frames: jnp.ndarray, n: int, idx: jnp.ndarray):
+        """Windowed overlap-add with squared-window normalization."""
+        w = jnp.asarray(self.stft.window)
+        out = jnp.zeros(n).at[idx].add(frames * w[None, :])
+        wsum = jnp.zeros(n).at[idx].add(
+            jnp.broadcast_to(w * w, frames.shape))
+        return out / jnp.maximum(wsum, 1e-8)
+
+    @partial(jax.jit, static_argnums=(0, 2))
+    def _gl(self, mag: jnp.ndarray, n_frames: int) -> jnp.ndarray:
+        """mag: (F, T) target linear magnitudes -> waveform (padded)."""
+        nfft = self.stft.filter_length
+        hop = self.stft.hop_length
+        n = (n_frames - 1) * hop + nfft
+        idx = (jnp.arange(n_frames)[:, None] * hop
+               + jnp.arange(nfft)[None, :])
+        w = jnp.asarray(self.stft.window)
+
+        def wav_of(spec):
+            frames = jnp.fft.irfft(spec.T, n=nfft)
+            return self._ola(frames, n, idx)
+
+        def spec_of(wav):
+            frames = wav[idx] * w[None, :]
+            return jnp.fft.rfft(frames, n=nfft, axis=-1).T
+
+        spec = mag.astype(jnp.complex64)  # zero phase init
+
+        def body(_, spec):
+            s = spec_of(wav_of(spec))
+            phase = s / jnp.maximum(jnp.abs(s), 1e-8)
+            return mag * phase
+
+        spec = jax.lax.fori_loop(0, self.n_iters, body, spec)
+        return wav_of(spec)
+
+    def __call__(self, log_mel: np.ndarray) -> np.ndarray:
+        """log_mel (T, n_mels) [the stored feature layout] -> wav np."""
+        m = np.exp(np.asarray(log_mel, np.float32)).T  # (n_mels, T)
+        mag = np.maximum(self.inv_basis @ m, 0.0)
+        n_frames = mag.shape[1]
+        wav = np.asarray(self._gl(jnp.asarray(mag), n_frames))
+        pad = self.stft.filter_length // 2
+        wav = wav[pad: pad + n_frames * self.stft.hop_length]
+        peak = np.abs(wav).max()
+        if peak > 1.0:
+            wav = wav / peak * 0.95
+        return wav.astype(np.float32)
+
+
 def stft_magnitudes(wav: np.ndarray, n_fft: int, win_length: int,
                     hop_length: int, center: bool = True) -> np.ndarray:
     """Generic |STFT| on host numpy, frames-major: (T_frames, 1+n_fft//2).

@@ -25,9 +25,35 @@ def _ckpt_dir(base: str) -> str:
     return os.path.join(os.path.abspath(base), "CMDenoiserTTS")
 
 
+_ASYNC_CKPTR: ocp.AsyncCheckpointer | None = None
+
+
+def _async_ckptr() -> ocp.AsyncCheckpointer:
+    global _ASYNC_CKPTR
+    if _ASYNC_CKPTR is None:
+        _ASYNC_CKPTR = ocp.AsyncCheckpointer(ocp.StandardCheckpointHandler())
+    return _ASYNC_CKPTR
+
+
+def wait_for_saves() -> None:
+    """Block until every pending async save has committed (call before
+    process exit / before reading a just-written step dir)."""
+    if _ASYNC_CKPTR is not None:
+        _ASYNC_CKPTR.wait_until_finished()
+
+
 def save_checkpoint(base_path: str, state: CMTrainState,
-                    sampler_state: dict | None = None) -> str:
-    """Write one step directory containing all parameter roles."""
+                    sampler_state: dict | None = None,
+                    blocking: bool = True) -> str:
+    """Write one step directory containing all parameter roles.
+
+    ``blocking=False`` returns as soon as the device->host snapshot is
+    taken; the directory write commits in a background thread (Orbax
+    AsyncCheckpointer — the SURVEY §5 'async save' requirement; the
+    reference instead blocks the loop in rank-0 torch.save +
+    dist.barrier, train_util.py:881-927).  Single-writer ordering is
+    preserved: a new save first waits for the previous one.
+    """
     step = int(jax.device_get(state.step))
     path = os.path.join(_ckpt_dir(base_path), f"step_{step:08d}")
     payload = {
@@ -40,9 +66,11 @@ def save_checkpoint(base_path: str, state: CMTrainState,
         payload[f"ema_{i}"] = jax.device_get(ema)
     if sampler_state:
         payload["sampler"] = {k: np.asarray(v) for k, v in sampler_state.items()}
-    ckptr = ocp.StandardCheckpointer()
-    ckptr.save(path, payload, force=True)
-    ckptr.wait_until_finished()
+    ckptr = _async_ckptr()
+    ckptr.wait_until_finished()  # serialize with any in-flight save
+    ckptr.save(path, args=ocp.args.StandardSave(payload), force=True)
+    if blocking:
+        ckptr.wait_until_finished()
     return path
 
 
@@ -63,6 +91,7 @@ def restore_checkpoint(base_path: str, step: int | None = None,
     """Restore a step dir (latest if step is None).  ``template`` is an
     abstract payload matching save_checkpoint's structure; None restores
     as raw pytrees."""
+    wait_for_saves()  # a same-process async save may still be in flight
     steps = list_checkpoint_steps(base_path)
     if not steps:
         raise FileNotFoundError(f"no checkpoints under {_ckpt_dir(base_path)}")
@@ -79,6 +108,7 @@ def restore_checkpoint(base_path: str, step: int | None = None,
 
 def restore_payload_from_dir(path: str) -> dict:
     """Restore one explicit step directory (teacher loading)."""
+    wait_for_saves()
     ckptr = ocp.StandardCheckpointer()
     return ckptr.restore(os.path.abspath(path))
 
