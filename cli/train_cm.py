@@ -276,7 +276,34 @@ def main():
             rng, sub = jax.random.split(rng)
             last_batch = (jax.tree_util.tree_map(lambda x: x[-1], sharded)
                           if K > 1 else sharded)
-            _, mel_loss = synth_step(state.target_params, last_batch, sub)
+            mel_synth, mel_loss = synth_step(state.target_params, last_batch,
+                                             sub)
+            if logger.has_tb and \
+                    last_step // cfg.train.synth_step > \
+                    (step - 1) // cfg.train.synth_step:
+                # mel comparison figure + a vocoded sample (reference
+                # synth_samples, utils/tools.py:610-687 + train_cm.py:98-118)
+                from cmtts_tpu.utils_plot import mel_comparison_figure
+
+                L = int(np.asarray(last_batch["mel_lens"][0]))
+                gt0 = np.asarray(last_batch["mels"][0])[:L]
+                syn0 = np.asarray(mel_synth[0])[:L]
+                logger.log_figure(
+                    "synth/mel_comparison",
+                    mel_comparison_figure(gt0, syn0, f"step {last_step}"),
+                    last_step)
+                try:
+                    from cmtts_tpu.audio.stft import GriffinLim, MelSpectrogram
+
+                    gl = GriffinLim(MelSpectrogram(
+                        cfg.stft.sampling_rate, cfg.stft.filter_length,
+                        cfg.stft.hop_length, cfg.stft.win_length,
+                        cfg.stft.n_mel_channels, cfg.stft.mel_fmin,
+                        cfg.stft.mel_fmax), n_iters=32)
+                    logger.log_audio("synth/onestep_audio", gl(syn0),
+                                     cfg.stft.sampling_rate, last_step)
+                except Exception as e:  # audio is best-effort
+                    print(f"==> TB audio logging skipped: {e}")
             dt = time.perf_counter() - t_last
             t_last = time.perf_counter()
             logger.logkv("step", last_step)

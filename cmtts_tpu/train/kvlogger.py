@@ -115,6 +115,25 @@ class KVLogger:
         with open(self._csv_path, "a") as f:
             f.write(",".join(str(kv.get(k, "")) for k in self._csv_keys) + "\n")
 
+    # -- rich summaries (reference utils/tools.py:610-687 figure/audio
+    # logging; no-ops unless the tensorboard sink is active) ----------------
+    @property
+    def has_tb(self) -> bool:
+        return self._tb is not None
+
+    def log_figure(self, tag: str, fig, step: int) -> None:
+        """Log a matplotlib figure (closes it)."""
+        if self._tb is not None:
+            self._tb.add_figure(tag, fig, step, close=True)
+
+    def log_audio(self, tag: str, wav, sample_rate: int, step: int) -> None:
+        """Log a mono waveform (float array in [-1, 1])."""
+        if self._tb is not None:
+            import numpy as _np
+
+            w = _np.asarray(wav, _np.float32).reshape(1, -1)
+            self._tb.add_audio(tag, w, step, sample_rate=sample_rate)
+
     def close(self):
         if self._jsonl_file:
             self._jsonl_file.close()

@@ -26,6 +26,29 @@ def plot_mel(mel: np.ndarray, path: str, title: str = "Synthesized mel") -> None
     plt.close(fig)
 
 
+def mel_comparison_figure(gt_mel: np.ndarray, syn_mel: np.ndarray,
+                          title: str = "mel"):
+    """GT-vs-synthesized mel comparison figure for TB logging (reference
+    ``utils/tools.py:610-648`` synth-sample plotting).  Returns the
+    matplotlib figure (caller logs/closes it); mels are (T, n_mels)."""
+    import matplotlib
+
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    fig, axes = plt.subplots(2, 1, figsize=(10, 5), sharex=True)
+    for ax, mel, name in ((axes[0], gt_mel, "ground truth"),
+                          (axes[1], syn_mel, "one-step synthesis")):
+        im = ax.imshow(np.asarray(mel).T, origin="lower", aspect="auto",
+                       interpolation="none")
+        ax.set_title(f"{title} — {name}", fontsize=9)
+        ax.set_ylabel("mel bins")
+        fig.colorbar(im, ax=ax)
+    axes[1].set_xlabel("frames")
+    fig.tight_layout()
+    return fig
+
+
 def load_speaker_embeddings(embedding_dir: str):
     """Gather per-speaker embedding npy files written by the preprocessor
     (``{speaker}-spker_embed.npy``) -> (embeddings (N, D), speaker ids)

@@ -415,3 +415,34 @@ def test_scan_steps_matches_sequential(train_setup):
                     jax.tree_util.tree_leaves(s.target_params)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=2e-5, atol=1e-7)
+def test_kvlogger_figure_and_audio_tb(tmp_path):
+    """The TB sink records image and audio summaries (reference
+    utils/tools.py:610-687 figure/audio logging surface)."""
+    import numpy as np
+
+    from cmtts_tpu.train.kvlogger import KVLogger
+    from cmtts_tpu.utils_plot import mel_comparison_figure
+
+    logger = KVLogger(str(tmp_path), formats=["tensorboard"])
+    if not logger.has_tb:
+        import pytest
+        pytest.skip("tensorboard not available")
+    rng = np.random.RandomState(0)
+    fig = mel_comparison_figure(rng.randn(40, 16), rng.randn(40, 16), "t")
+    logger.log_figure("synth/mel_comparison", fig, 10)
+    logger.log_audio("synth/onestep_audio",
+                     0.1 * np.sin(np.arange(2205) * 0.06), 22050, 10)
+    logger.logkv("step", 10)
+    logger.logkv("loss", 1.5)
+    logger.dumpkvs()
+    logger.close()
+
+    from tensorboard.backend.event_processing.event_accumulator import \
+        EventAccumulator
+
+    acc = EventAccumulator(str(tmp_path))
+    acc.Reload()
+    tags = acc.Tags()
+    assert "synth/mel_comparison" in tags.get("images", []), tags
+    assert "synth/onestep_audio" in tags.get("audio", []), tags
+    assert "loss" in tags.get("scalars", []), tags
