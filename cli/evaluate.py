@@ -1,6 +1,8 @@
 """Validation-loss CLI (reference ``evaluate.py`` surface: ``evaluate_cm``
-runs the conditioning net + variance losses over val.txt, mel term
-stubbed — reference evaluate.py:268-366)."""
+runs the conditioning net + variance losses over val.txt — reference
+evaluate.py:268-366 stubs the mel term at :299; here the fused one-step
+sampler adds a true validation mel L1 (``--mel_loss``, on by default)
+since the limitation needn't be inherited)."""
 
 from __future__ import annotations
 
@@ -13,7 +15,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import numpy as np
 
 
-def evaluate_cm(cfg, params, max_batches=None):
+def evaluate_cm(cfg, params, max_batches=None, with_mel=True, seed=42):
     import jax
     import jax.numpy as jnp
 
@@ -24,6 +26,11 @@ def evaluate_cm(cfg, params, max_batches=None):
 
     model = CMTTS(cfg)
     sil_ids = tuple(sil_phonemes_ids())
+    synth_step = None
+    if with_mel:
+        from cmtts_tpu.train.loop import make_synthesize_step
+
+        synth_step = make_synthesize_step(model, cfg)
 
     @jax.jit
     def eval_batch(params, batch):
@@ -48,6 +55,11 @@ def evaluate_cm(cfg, params, max_batches=None):
         totals.append(float(total))
         for k, v in losses.items():
             all_losses.setdefault(k, []).append(float(v))
+        if synth_step is not None:
+            _, mel_l1 = synth_step(
+                params, clean,
+                jax.random.fold_in(jax.random.PRNGKey(seed), n))
+            all_losses.setdefault("mel_onestep_l1", []).append(float(mel_l1))
         n += 1
         if max_batches and n >= max_batches:
             break
@@ -62,6 +74,12 @@ def main():
     parser.add_argument("--dataset", type=str, required=True)
     parser.add_argument("--config_root", type=str, default=None)
     parser.add_argument("--max_batches", type=int, default=None)
+    parser.add_argument("--no_mel_loss", action="store_true",
+                        help="skip the one-step synthesis mel L1 "
+                             "(reference-faithful variance-only mode)")
+    parser.add_argument("--params_role", type=str, default="target_model",
+                        help="checkpoint role to evaluate (the one-step "
+                             "sampler uses the target network in training)")
     args = parser.parse_args()
 
     from cmtts_tpu.core.config import load_configs
@@ -69,7 +87,9 @@ def main():
 
     cfg = load_configs(args.dataset, args.config_root)
     payload = restore_checkpoint(cfg.train.ckpt_path, args.restore_step or None)
-    summary = evaluate_cm(cfg, payload["model"], args.max_batches)
+    role = args.params_role if args.params_role in payload else "model"
+    summary = evaluate_cm(cfg, payload[role], args.max_batches,
+                          with_mel=not args.no_mel_loss)
     print("validation losses:")
     for k, v in summary.items():
         print(f"  {k}: {v:.5f}")

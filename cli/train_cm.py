@@ -263,10 +263,15 @@ def main():
         if sampler.needs_update:
             # globally sharded per-sample outputs -> full global value on
             # every host (reference resample.py:117-153 all_gather); for
-            # K>1 the history absorbs all K steps at once
-            sampler.update(gather_per_sample(metrics["indices"]).reshape(-1),
-                           gather_per_sample(
-                               metrics["loss_per_sample"]).reshape(-1))
+            # K>1 the history absorbs all K steps at once; padded
+            # duplicate rows are dropped from the LSM history
+            idx = gather_per_sample(metrics["indices"]).reshape(-1)
+            lps = gather_per_sample(metrics["loss_per_sample"]).reshape(-1)
+            if "sample_valid" in cleans[0]:
+                sv = np.concatenate(
+                    [np.asarray(c["sample_valid"]) for c in cleans]) > 0
+                idx, lps = idx[sv], lps[sv]
+            sampler.update(idx, lps)
 
         steps_since_log += K
         if last_step // log_step > (step - 1) // log_step:

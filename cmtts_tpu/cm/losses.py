@@ -34,8 +34,9 @@ def _masked_mean(x, mask):
 
 
 def duration_loss(log_d_pred, d_targets, texts, src_valid, cfg: Config,
-                  sil_ids: tuple[int, ...]):
-    """Phone/word/sentence duration losses (model/loss.py:253-295)."""
+                  sil_ids: tuple[int, ...], sample_valid=None):
+    """Phone/word/sentence duration losses (model/loss.py:253-295).
+    ``sample_valid`` (B,) zeros padded duplicate rows exactly."""
     ls = cfg.train.loss
     losses = {}
     nonpad = src_valid.astype(jnp.float32)
@@ -67,7 +68,10 @@ def duration_loss(log_d_pred, d_targets, texts, src_valid, cfg: Config,
         sent_p = dur_pred.sum(-1)
         sent_g = dur_gt.sum(-1)
         sdur = (jnp.log(sent_p + 1.0) - jnp.log(sent_g + 1.0)) ** 2
-        losses["sdur"] = sdur.mean() * ls.lambda_sent_dur
+        if sample_valid is not None:
+            losses["sdur"] = _masked_mean(sdur, sample_valid) * ls.lambda_sent_dur
+        else:
+            losses["sdur"] = sdur.mean() * ls.lambda_sent_dur
 
     return losses
 
@@ -76,24 +80,36 @@ def _bce_with_logits(logits, labels):
     return jnp.maximum(logits, 0) - logits * labels + jnp.log1p(jnp.exp(-jnp.abs(logits)))
 
 
-def pitch_loss(p_pred: dict, p_targets: dict, mel_valid, src_valid, cfg: Config):
+def pitch_loss(p_pred: dict, p_targets: dict, mel_valid, src_valid, cfg: Config,
+               sample_valid=None):
     """CWT / frame / ph pitch losses (model/loss.py:297-358)."""
     ls = cfg.train.loss
     pc = cfg.pitch
     losses = {}
+    sv = sample_valid
     if pc.pitch_type == "cwt":
         cwt_pred = p_pred["cwt"][..., :10]
         cwt_gt = p_targets["cwt_spec"]
-        if ls.cwt_loss == "l1":
-            losses["C"] = jnp.abs(cwt_pred - cwt_gt).mean() * ls.lambda_f0
+        cwt_err = (jnp.abs(cwt_pred - cwt_gt) if ls.cwt_loss == "l1"
+                   else (cwt_pred - cwt_gt) ** 2)
+        if sv is not None:
+            losses["C"] = _masked_mean(
+                cwt_err, jnp.broadcast_to(sv[:, None, None], cwt_err.shape)
+            ) * ls.lambda_f0
         else:
-            losses["C"] = ((cwt_pred - cwt_gt) ** 2).mean() * ls.lambda_f0
+            losses["C"] = cwt_err.mean() * ls.lambda_f0
         if pc.use_uv:
             uv_logits = p_pred["cwt"][..., -1]
             bce = _bce_with_logits(uv_logits, p_targets["uv"])
             losses["uv"] = _masked_mean(bce, mel_valid) * ls.lambda_uv
-        losses["f0_mean"] = jnp.abs(p_pred["f0_mean"] - p_targets["f0_mean"]).mean() * ls.lambda_f0
-        losses["f0_std"] = jnp.abs(p_pred["f0_std"] - p_targets["f0_std"]).mean() * ls.lambda_f0
+        f0m_err = jnp.abs(p_pred["f0_mean"] - p_targets["f0_mean"])
+        f0s_err = jnp.abs(p_pred["f0_std"] - p_targets["f0_std"])
+        if sv is not None:
+            losses["f0_mean"] = _masked_mean(f0m_err, sv) * ls.lambda_f0
+            losses["f0_std"] = _masked_mean(f0s_err, sv) * ls.lambda_f0
+        else:
+            losses["f0_mean"] = f0m_err.mean() * ls.lambda_f0
+            losses["f0_std"] = f0s_err.mean() * ls.lambda_f0
     elif pc.pitch_type == "frame":
         pred = p_pred["pitch_pred"]
         nonpad = mel_valid
@@ -124,13 +140,21 @@ def variance_loss(cond_out: dict, batch: dict, cfg: Config,
     during CM training — the mel is learned by the consistency loss)."""
     src_valid = 1.0 - cond_out["src_pad_mask"].astype(jnp.float32)
     mel_valid = 1.0 - cond_out["mel_pad_mask"].astype(jnp.float32)
+    sample_valid = batch.get("sample_valid")
+    if sample_valid is not None:
+        # padded duplicate rows (pod batch padding) contribute zero:
+        # their frames/phones leave every masked mean (sharding.py
+        # pad_batch_to_multiple)
+        src_valid = src_valid * sample_valid[:, None]
+        mel_valid = mel_valid * sample_valid[:, None]
 
     losses = duration_loss(
         cond_out["log_d_pred"], batch["d_targets"], batch["texts"], src_valid,
-        cfg, sil_ids)
+        cfg, sil_ids, sample_valid=sample_valid)
     if cfg.model.variance_embedding.use_pitch_embed:
         losses.update(pitch_loss(
-            cond_out["p_pred"], batch["p_targets"], mel_valid, src_valid, cfg))
+            cond_out["p_pred"], batch["p_targets"], mel_valid, src_valid, cfg,
+            sample_valid=sample_valid))
     if cfg.model.variance_embedding.use_energy_embed:
         losses["energy"] = energy_loss(
             cond_out["e_pred"], batch["e_targets"], src_valid, mel_valid, cfg)

@@ -142,6 +142,18 @@ class FeatureDataset:
         duration = self._feat("duration", speaker, basename).astype(np.int32)
         mel2ph = self._feat("mel2ph", speaker, basename).astype(np.int32)
 
+        if len(phone) != len(duration) or (len(mel2ph) and
+                                           mel2ph.max() > len(phone)):
+            # a tokenized-text / alignment length mismatch poisons the
+            # mel2ph gather for the WHOLE batch (out-of-bounds indices) —
+            # fail loudly naming the utterance instead
+            raise ValueError(
+                f"{basename}: tokenized text has {len(phone)} phones but "
+                f"duration has {len(duration)} (mel2ph max "
+                f"{int(mel2ph.max()) if len(mel2ph) else 0}) — the metadata "
+                "text and the alignment features are out of sync; "
+                "re-run preprocessing")
+
         sample = {
             "id": basename,
             "speaker": self.speaker_map[speaker],

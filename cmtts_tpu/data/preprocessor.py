@@ -39,7 +39,11 @@ from cmtts_tpu.audio.wavio import read_wav, resample_linear
 from cmtts_tpu.core.config import Config
 from cmtts_tpu.data.textgrid import read_textgrid
 
-SIL_PHONES = ("sil", "sp", "spn")
+# "" is modern MFA's silence label (older MFA wrote sil/sp/spn — the
+# reference only handles those, preprocessor.py:359; empty-text intervals
+# would otherwise survive as phantom phones that VANISH at tokenization,
+# desynchronizing text vs duration/mel2ph for every utterance)
+SIL_PHONES = ("sil", "sp", "spn", "")
 
 FEATURE_DIRS = ("mel", "f0", "pitch", "cwt_spec", "cwt_scales",
                 "f0cwt_mean_std", "energy", "duration", "mel2ph", "spker_embed")
@@ -83,7 +87,9 @@ class Preprocessor:
                 end_time = e
                 end_idx = len(phones)
             else:
-                phones.append(p)
+                # interior silence: keep it, but give MFA's "" a symbol
+                # that survives text_to_sequence round-trips
+                phones.append(p if p else "sp")
             durations.append(int(
                 np.round(e * self.sr / self.hop) - np.round(s * self.sr / self.hop)))
         phones = phones[:end_idx]

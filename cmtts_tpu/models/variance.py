@@ -60,7 +60,11 @@ def gather_by_mel2ph(x_ph: jnp.ndarray, mel2ph: jnp.ndarray) -> jnp.ndarray:
     zeros where mel2ph == 0 (the static-shape LengthRegulator)."""
     B, T, C = x_ph.shape
     padded = jnp.concatenate([jnp.zeros((B, 1, C), x_ph.dtype), x_ph], axis=1)
-    return jnp.take_along_axis(padded, mel2ph[:, :, None], axis=1)
+    # clip: out-of-bounds alignment indices must degrade to the last
+    # phone, not NaN-fill (JAX gather FILL_OR_DROP would silently poison
+    # training — the dataset validates alignment, this is the backstop)
+    idx = jnp.clip(mel2ph[:, :, None], 0, padded.shape[1] - 1)
+    return jnp.take_along_axis(padded, idx, axis=1)
 
 
 class ConvPredictorStack(nn.Module):

@@ -74,7 +74,14 @@ def replicate_state(state: Any, mesh: Mesh) -> Any:
 
 def pad_batch_to_multiple(batch: dict, multiple: int) -> tuple[dict, int]:
     """Pad batch axis 0 up to a device-count multiple (repeating the last
-    sample); returns (batch, original_size)."""
+    sample); returns (batch, original_size).
+
+    A ``sample_valid`` mask (1 for real rows, 0 for duplicates) is added
+    so the train step can zero the duplicates' loss contribution exactly
+    (cm weights rescaled, variance masks zeroed — see
+    ``cm/losses.variance_loss``); without it the duplicates would
+    slightly re-weight the gradient.
+    """
     sizes = [v.shape[0] for v in jax.tree_util.tree_leaves(batch)
              if isinstance(v, np.ndarray) and v.ndim > 0]
     B = sizes[0]
@@ -89,7 +96,10 @@ def pad_batch_to_multiple(batch: dict, multiple: int) -> tuple[dict, int]:
             return np.concatenate([x, reps], axis=0)
         return x
 
-    return jax.tree_util.tree_map(pad, batch), B
+    out = jax.tree_util.tree_map(pad, batch)
+    out["sample_valid"] = np.concatenate(
+        [np.ones(B, np.float32), np.zeros(pad_n, np.float32)])
+    return out, B
 
 
 def gather_per_sample(x: Any, force_allgather: bool = False) -> np.ndarray:

@@ -172,7 +172,15 @@ def make_train_step(model: CMTTS, cfg: Config, tx: optax.GradientTransformation,
                 apply_fn, params, target_params, mb["x_start"], mb["noise"],
                 mb["indices"], num_scales, b, cfg, sched, sil_ids,
                 mb["rng_drop"], teacher_denoise=teacher_denoise)
-        loss = (total * mb["weights"]).mean()
+        w = mb["weights"]
+        sv = b.get("sample_valid")
+        if sv is not None:
+            # padded duplicate rows (pod batch padding): zero their cm
+            # contribution and renormalize to the real-sample count, so
+            # the gradient equals the unpadded batch's exactly (the
+            # variance losses are masked inside variance_loss)
+            w = w * sv * (sv.shape[0] / jnp.maximum(sv.sum(), 1.0))
+        loss = (total * w).mean()
         return loss, (total, aux)
 
     grad_fn = jax.value_and_grad(micro_loss, has_aux=True)

@@ -192,3 +192,71 @@ def test_sharded_inference_matches_single_device():
     mel2, lens2, _ = sharded(toks, mel_bucket=32)
     np.testing.assert_array_equal(lens1, lens2)
     np.testing.assert_allclose(mel1, mel2, rtol=1e-5, atol=1e-6)
+
+
+def test_padded_duplicates_contribute_zero_loss():
+    """pad_batch_to_multiple adds sample_valid; the train step must be
+    EXACTLY invariant to the padded rows' contents (VERDICT r2 weak #5 —
+    previously duplicates slightly re-weighted the gradient)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from cmtts_tpu.parallel.sharding import pad_batch_to_multiple
+    from cmtts_tpu.train.loop import make_train_step
+    from cmtts_tpu.train.state import create_train_state, make_optimizer
+    from cmtts_tpu.train.resample import create_schedule_sampler
+    from tests.helpers import tiny_config, tiny_batch
+    from cmtts_tpu.models.cmtts import CMTTS
+
+    cfg = tiny_config()
+    model = CMTTS(cfg)
+    b2 = tiny_batch(B=2)
+    b2 = {k: v for k, v in b2.items() if v is not None}
+    padded, orig = pad_batch_to_multiple(dict(b2), 3)
+    assert orig == 2 and padded["mels"].shape[0] == 3
+    assert padded["sample_valid"].tolist() == [1, 1, 0]
+
+    # second copy with garbage in the padded row
+    garbage = {k: (v.copy() if isinstance(v, np.ndarray) else
+                   {kk: vv.copy() for kk, vv in v.items()})
+               for k, v in padded.items()}
+    for k, v in garbage.items():
+        if k == "sample_valid":
+            continue
+        if isinstance(v, np.ndarray) and v.ndim > 0 and v.shape[0] == 3:
+            if np.issubdtype(v.dtype, np.floating):
+                v[2] = 17.3
+        elif isinstance(v, dict):
+            for vv in v.values():
+                if np.issubdtype(vv.dtype, np.floating):
+                    vv[2] = 9.1
+
+    def to_j(b):
+        return {k: (jnp.asarray(v) if isinstance(v, np.ndarray) else
+                    {kk: jnp.asarray(vv) for kk, vv in v.items()})
+                for k, v in b.items()}
+
+    jb = to_j(padded)
+    rng = jax.random.PRNGKey(0)
+    variables = model.init(
+        {"params": rng, "dropout": rng}, jb["mels"], jnp.zeros(3),
+        speakers=jb["speakers"], texts=jb["texts"], src_lens=jb["src_lens"],
+        mel2ph=jb["mel2ph"], d_targets=jb["d_targets"],
+        p_targets=jb["p_targets"], e_targets=jb["e_targets"],
+        deterministic=True)
+    tx = make_optimizer(1e-4)
+    step = make_train_step(model, cfg, tx, num_scales=3, donate=False)
+    probs = jnp.asarray(create_schedule_sampler("uniform", 3).probs())
+    key = jax.random.PRNGKey(5)
+
+    s0 = create_train_state(variables["params"], tx, n_ema=1)
+    sA, mA = step(s0, jb, probs, key, jnp.asarray(0.95))
+    sB, mB = step(s0, to_j(garbage), probs, key, jnp.asarray(0.95))
+
+    np.testing.assert_allclose(float(mA["loss"]), float(mB["loss"]),
+                               rtol=1e-6)
+    for a, b in zip(jax.tree_util.tree_leaves(sA.params),
+                    jax.tree_util.tree_leaves(sB.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-6, atol=1e-8)

@@ -166,3 +166,73 @@ def test_speaker_embedding_tsne_plot(tmp_path):
     out2 = plot_embedding(str(tmp_path), emb[:2], ids[:2], genders,
                           filename="tiny.png")
     assert out2 and os.path.isfile(out2)
+
+
+def test_alignment_with_mfa_empty_silences(tmp_path):
+    """Modern MFA writes silence intervals with EMPTY text (older MFA
+    wrote sil/sp/spn, the only labels the reference handles,
+    preprocessor.py:359).  Empty-text intervals must be trimmed at the
+    edges and mapped to a real 'sp' token inside, so the metadata text
+    tokenizes to exactly len(duration) phones — a mismatch poisons the
+    mel2ph gather for the whole batch."""
+    import dataclasses
+
+    raw = tmp_path / "raw" / "SYN"
+    pre = tmp_path / "pre"
+    raw.mkdir(parents=True)
+    (pre / "TextGrid" / "LJSpeech").mkdir(parents=True)
+    sr = 22050
+    t = np.arange(int(sr * 1.2)) / sr
+    wav = 0.4 * np.sin(2 * np.pi * 180 * t)
+    write_wav(str(raw / "u0.wav"), wav.astype(np.float32), sr)
+    (raw / "u0.lab").write_text("x")
+    _make_textgrid(
+        str(pre / "TextGrid" / "LJSpeech" / "u0.TextGrid"),
+        [(0.0, 0.1, ""), (0.1, 0.4, "HH"), (0.4, 0.6, "AH0"),
+         (0.6, 0.7, ""), (0.7, 1.0, "L"), (1.0, 1.2, "")])
+
+    p, m, tr = load_yaml_configs("LJSpeech")
+    p["path"]["raw_path"] = str(tmp_path / "raw")
+    p["path"]["preprocessed_path"] = str(pre)
+    p["preprocessing"]["val_size"] = 0
+    cfg = config_from_dicts(p, m, tr)
+    pp = Preprocessor(cfg, dataset_type="LJspeech")
+    pp.build_from_path()
+
+    line = open(pre / "train.txt").readline().strip().split("|")
+    phones = line[2].strip("{}").split()
+    dur = np.load(pre / "duration" / "SYN-duration-u0.npy")
+    m2p = np.load(pre / "mel2ph" / "SYN-mel2ph-u0.npy")
+    # edges trimmed, interior "" became sp: HH AH0 sp L
+    assert phones == ["HH", "AH0", "sp", "L"], phones
+    assert len(dur) == len(phones)
+    assert m2p.max() == len(phones)
+
+    from cmtts_tpu.text import text_to_sequence
+    assert len(text_to_sequence(line[2], cfg.data.text_cleaners)) == len(dur)
+
+
+def test_dataset_rejects_desynced_alignment(mini_config):
+    """FeatureDataset must fail loudly (naming the utterance) when the
+    metadata text tokenizes to a different phone count than the stored
+    duration — the failure mode that silently NaN'd training via
+    out-of-bounds mel2ph before."""
+    import shutil
+
+    cfg = mini_config
+    pre = cfg.data.preprocessed_path
+    train_txt = os.path.join(pre, "train.txt")
+    backup = train_txt + ".bak"
+    shutil.copy(train_txt, backup)
+    try:
+        lines = open(train_txt).read().splitlines()
+        parts = lines[0].split("|")
+        parts[2] = "{HH AH0 L AH0 EXTRA W IH1}"  # wrong phone count
+        lines[0] = "|".join(parts)
+        open(train_txt, "w").write("\n".join(lines) + "\n")
+        ds = FeatureDataset("train.txt", cfg, sort=False)
+        with pytest.raises(ValueError, match="out of sync"):
+            for i in range(len(ds)):
+                ds[i]
+    finally:
+        shutil.move(backup, train_txt)
