@@ -75,6 +75,12 @@ def main():
     parser.add_argument("--source", type=str, default=None,
                         help="metadata file for batch mode")
     parser.add_argument("--text", type=str, default=None)
+    parser.add_argument("--lang", type=str, default="en", choices=["en", "zh"],
+                        help="single-mode text language: zh takes "
+                             "space-separated toned pinyin (or hanzi when "
+                             "pypinyin is installed); the reference CLI "
+                             "raises for zh (synthesize.py:391-392) — here "
+                             "the rule-based pinyin frontend implements it")
     parser.add_argument("--speaker_id", type=int, default=0)
     parser.add_argument("--dataset", type=str, required=True)
     parser.add_argument("--T", type=int, default=1, choices=[1, 2, 4])
@@ -167,8 +173,16 @@ def main():
             run_batch(batch["ids"], batch["tokens"], batch["speakers"],
                       batch["spker_embeds"])
     else:
-        tokens = preprocess_english(
-            args.text, cfg.data.lexicon_path, list(cfg.data.text_cleaners))
+        if args.lang == "zh":
+            from cmtts_tpu.text import text_to_sequence
+            from cmtts_tpu.text.pinyin import preprocess_mandarin
+
+            phones = preprocess_mandarin(args.text)
+            print(f"Phoneme sequence: {phones}")
+            tokens = np.asarray(text_to_sequence(phones, []), dtype=np.int32)
+        else:
+            tokens = preprocess_english(
+                args.text, cfg.data.lexicon_path, list(cfg.data.text_cleaners))
         run_batch(["single"], [tokens],
                   np.asarray([args.speaker_id], np.int32), None)
 

@@ -159,3 +159,42 @@ def test_preprocess_english_no_spn_with_builtin_g2p():
         total_tokens += seq.size
     assert total_spn / total_tokens < 0.05, (total_spn, total_tokens)
     assert total_spn == 0  # the builtin G2P covers every alphabetic word
+
+
+def test_pinyin_rules_match_reference_lexicon_golden():
+    """Every entry of the reference's 4120-line pinyin lexicon data file
+    must be reproduced exactly by the rule-based decomposition
+    (first-entry-wins, matching the reference read_lexicon semantics)."""
+    import os
+
+    import pytest
+
+    from cmtts_tpu.text.pinyin import read_pinyin_lexicon, syllable_to_phones
+
+    path = "/root/reference/lexicon/pinyin-lexicon-r.txt"
+    if not os.path.exists(path):
+        pytest.skip("reference lexicon not mounted")
+    lex = read_pinyin_lexicon(path)
+    assert len(lex) > 4000
+    bad = [(s, w, syllable_to_phones(s)) for s, w in lex.items()
+           if syllable_to_phones(s) != w]
+    assert not bad, bad[:10]
+
+
+def test_pinyin_symbols_and_preprocess_mandarin():
+    from cmtts_tpu.text import text_to_sequence
+    from cmtts_tpu.text.pinyin import preprocess_mandarin, syllable_to_phones
+    from cmtts_tpu.text.symbols import symbol_to_id
+
+    assert syllable_to_phones("zhuang1") == ["zh", "uang1"]
+    assert syllable_to_phones("lüe4") == ["l", "ve4"]
+    assert syllable_to_phones("huar2") == ["h", "ua2", "rr"]
+    assert syllable_to_phones("xyzzy") is None
+
+    phones = preprocess_mandarin("ni3 hao3 shi4 jie4")
+    assert phones == "{n i3 h ao3 sh iii4 j ie4}"
+    seq = text_to_sequence(phones, [])
+    # every phone token resolves to an @pinyin symbol
+    assert len(seq) == 8
+    for p in phones.strip("{}").split():
+        assert "@" + p in symbol_to_id
