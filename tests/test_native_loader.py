@@ -75,7 +75,7 @@ def test_dataset_get_many_matches_getitem(tmp_path):
         for kind, arr in feats.items():
             os.makedirs(tmp_path / kind, exist_ok=True)
             np.save(str(tmp_path / kind / f"{spk}-{kind}-{base}.npy"), arr)
-        lines.append(f"{base}|{spk}|{{HH AH0 L}}|hello")
+        lines.append(f"{base}|{spk}|{{HH AH0 L OW1}}|hello")
     (tmp_path / "train.txt").write_text("\n".join(lines) + "\n")
     (tmp_path / "speakers.json").write_text(json.dumps({"LJSpeech": 0}))
 
