@@ -17,6 +17,7 @@ its single ~25 ms round trip is amortized over all iterations.
 """
 
 import json
+import os
 import time
 
 import numpy as np
@@ -40,20 +41,35 @@ def make_pipeline(T: int):
         np.random.RandomState(i).randint(13, 140, T_TXT).astype(np.int32)
         for i in range(B)])
 
-    variables = model.init(
-        {"params": rng, "dropout": rng},
-        jnp.zeros((B, 128, cfg.stft.n_mel_channels)), jnp.zeros(B),
-        speakers=jnp.zeros(B, jnp.int32),
-        texts=jnp.asarray(tokens),
-        src_lens=jnp.full((B,), T_TXT, jnp.int32),
-        deterministic=True)
-    params = variables["params"]
-    # random init predicts ~0 duration; bias the duration head to ~6
-    # frames/phoneme so the benchmark synthesizes realistic lengths
-    params["variance_adaptor"]["duration_predictor"]["proj"]["bias"] = (
-        jnp.full_like(
-            params["variance_adaptor"]["duration_predictor"]["proj"]["bias"],
-            float(np.log(7.0))))
+    ckpt = os.environ.get("CMTTS_BENCH_CKPT")
+    if ckpt:
+        # load trained weights (checkpoint role: target_model — the
+        # one-step synthesis model, reference train_util.py:718-727) so
+        # the timed graph pushes a REAL mel through the vocoder.  RTF is
+        # weight-independent (identical compute graph), verified vs the
+        # random-init default; see docs/ROUND3_NOTES.md.
+        from cmtts_tpu.train.checkpoint import (restore_checkpoint,
+                                                restore_payload_from_dir)
+        if os.path.basename(ckpt).startswith("step_"):
+            payload = restore_payload_from_dir(ckpt)
+        else:
+            payload = restore_checkpoint(ckpt)
+        params = jax.tree_util.tree_map(jnp.asarray, payload["target_model"])
+    else:
+        variables = model.init(
+            {"params": rng, "dropout": rng},
+            jnp.zeros((B, 128, cfg.stft.n_mel_channels)), jnp.zeros(B),
+            speakers=jnp.zeros(B, jnp.int32),
+            texts=jnp.asarray(tokens),
+            src_lens=jnp.full((B,), T_TXT, jnp.int32),
+            deterministic=True)
+        params = variables["params"]
+        # random init predicts ~0 duration; bias the duration head to ~6
+        # frames/phoneme so the benchmark synthesizes realistic lengths
+        params["variance_adaptor"]["duration_predictor"]["proj"]["bias"] = (
+            jnp.full_like(
+                params["variance_adaptor"]["duration_predictor"]["proj"]["bias"],
+                float(np.log(7.0))))
 
     voc = HiFiGANGenerator(HiFiGANConfig())
     voc_params = voc.init(jax.random.PRNGKey(1),
@@ -116,6 +132,8 @@ def main():
         "audio_sec_per_iter": audio_sec,
         "compute_dtype": "bf16 denoiser / bf16-dot pallas vocoder",
         "device": str(jax.devices()[0]),
+        "weights": ("trained(target_model)"
+                    if os.environ.get("CMTTS_BENCH_CKPT") else "random-init"),
     }
     # T=2/T=4 extras only if the T=1 pass left budget (each costs a fresh
     # multi-minute compile through the dev tunnel)

@@ -96,7 +96,8 @@ def hifigan_apply_fused(params: dict, mel, cfg: HiFiGANConfig | None = None,
                         mrf_pallas_max_c: int | None = None,
                         interpret: bool = False,
                         pallas_dtype=jnp.bfloat16,
-                        pallas_dot_dtype=None):
+                        pallas_dot_dtype=None,
+                        stream_stage0: bool | None = None):
     """Functional HiFi-GAN forward with Pallas fused-MRF stages.
 
     Same math and same param tree as ``HiFiGANGenerator`` — the upsample
@@ -109,9 +110,16 @@ def hifigan_apply_fused(params: dict, mel, cfg: HiFiGANConfig | None = None,
     v5e): single-sample synthesis also fuses the C=128 stage (35.6 vs
     38.4 ms), while batched synthesis stops at C=64 — XLA's batched
     C=128 convs beat the kernel's per-item tile-512 grid there (69.7 vs
-    75.1 ms at B=8).  Stage 0 (C=256) always keeps the flax path — its
-    fused weights (~33 MB f32) exceed VMEM and its runtime share is
-    small.
+    75.1 ms at B=8).
+
+    ``stream_stage0``: stages too wide for VMEM-resident weights
+    (C > mrf_pallas_max_c, i.e. stage 0 at C=256) run the
+    weight-STREAMING Pallas kernel (``fused_mrf_stage_streamed``, bf16
+    weights double-buffered from HBM) instead of the flax/XLA path.
+    Default (None) enables it for single-sample synthesis, where it
+    cuts the full B=1 T=800 vocoder 1.23x (11.8 -> 9.6 ms, interleaved
+    A/B, median of 8 alternating blocks) — measured v5e,
+    docs/ROUND3_NOTES.md.
 
     Precision (v5e, profile-driven): XLA-side ops stay f32 (XLA already
     computes f32 convs with bf16 MXU passes internally); inside the
@@ -123,7 +131,9 @@ def hifigan_apply_fused(params: dict, mel, cfg: HiFiGANConfig | None = None,
     """
     from cmtts_tpu.ops.mrf_pallas import (
         fused_mrf_stage,
+        fused_mrf_stage_streamed,
         pack_mrf_params,
+        pack_mrf_params_streamed,
         pack_post_params,
     )
 
@@ -131,6 +141,8 @@ def hifigan_apply_fused(params: dict, mel, cfg: HiFiGANConfig | None = None,
     f32 = jnp.float32
     if mrf_pallas_max_c is None:
         mrf_pallas_max_c = 128 if mel.shape[0] == 1 else 64
+    if stream_stage0 is None:
+        stream_stage0 = mel.shape[0] == 1
     if pallas_dot_dtype is None:
         pallas_dot_dtype = pallas_dtype
     params = jax.tree_util.tree_map(lambda v: v.astype(f32), params)
@@ -160,6 +172,21 @@ def hifigan_apply_fused(params: dict, mel, cfg: HiFiGANConfig | None = None,
                                            .shape[0]))
             if last:
                 return x  # fused head already applied tanh
+        elif stream_stage0 and not last:
+            w, b = pack_mrf_params_streamed(params, i, ch,
+                                            c.resblock_kernel_sizes)
+            x = fused_mrf_stage_streamed(x, w, b,
+                                         c.resblock_kernel_sizes,
+                                         c.resblock_dilation_sizes[0],
+                                         interpret=interpret,
+                                         compute_dtype=pallas_dtype,
+                                         dot_dtype=pallas_dot_dtype,
+                                         # tile=1024 wins at B=1; larger
+                                         # grids trip Mosaic's scoped-VMEM
+                                         # accounting at W=1280, so stay
+                                         # at 512 for explicit B>1 opt-in
+                                         tile=1024 if mel.shape[0] == 1
+                                         else 512)
         else:
             acc = None
             for j, (ks, ds) in enumerate(

@@ -246,6 +246,158 @@ def fused_mrf_stage(x, stage_params_packed, kernel_sizes=(3, 7, 11),
     return jnp.transpose(out[:, :, :L], (0, 2, 1))
 
 
+@functools.partial(jax.jit, static_argnames=("kernel_sizes", "dilations",
+                                             "tile", "interpret",
+                                             "compute_dtype", "dot_dtype"))
+def fused_mrf_stage_streamed(x, weights_hbm, biases, kernel_sizes=(3, 7, 11),
+                             dilations=(1, 3, 5), tile: int | None = None,
+                             interpret: bool = False, compute_dtype=None,
+                             dot_dtype=None):
+    """Fused MRF stage for channel widths whose weights exceed VMEM
+    (stage 0, C=256: ~16.5 MB bf16 vs ~16 MB VMEM): weights stay in HBM
+    and are DMA'd per-conv into a double-buffered VMEM scratch, each
+    prefetch overlapping the previous conv's matmuls (canonical
+    double-buffer pattern, pallas_guide.md "Patterns: Double Buffering").
+
+    Why it wins: XLA runs the C=256 MRF at ~9 TFLOP/s effective on the
+    single-sample path (layout copies + one-HBM-round-trip-per-conv);
+    here x is read once per tile, all 18 convs hit the MXU back-to-back
+    in bf16, and the total weight re-stream per tile (16.5 MB, ~20 us at
+    HBM speed) hides behind ~80 us of matmuls.
+
+    x: (B, L, C) channels-last.
+    weights_hbm: tuple of 2*n_blocks bf16 arrays (w1_b, w2_b per block),
+        each (n_pairs, C, k_b*C) — from ``pack_mrf_params_streamed``.
+    biases: tuple of 2*n_blocks f32 arrays (b1_b, b2_b per block), each
+        (n_pairs, C, 1), VMEM-resident (18 KB total).
+    Returns (B, L, C) in x.dtype.  Same math as ``fused_mrf_stage``
+    (reference ``hifigan/models.py:20-103``).
+    """
+    B, L, C = x.shape
+    dtype = x.dtype
+    compute_dtype = compute_dtype or dtype
+    dd = dot_dtype or compute_dtype
+    H = _receptive_radius(kernel_sizes, dilations)
+    H = int(math.ceil(H / 128) * 128)
+    TILE = tile or 512
+    TILE = min(TILE, int(math.ceil(L / 128) * 128))
+    n_tiles = -(-L // TILE)
+    Lp = n_tiles * TILE
+    W = TILE + 2 * H
+
+    xt = jnp.transpose(x, (0, 2, 1))
+    xt = jnp.pad(xt, ((0, 0), (0, 0), (H, H + Lp - L)))
+
+    n_blocks = len(kernel_sizes)
+    n_pairs = len(dilations)
+    kmax = max(kernel_sizes)
+    # execution order of the 2*n_pairs*n_blocks convs:
+    # (block, pair, conv1|conv2) -> (weight ref index, pair row, k)
+    seq = []
+    for bidx, k in enumerate(kernel_sizes):
+        for p in range(n_pairs):
+            seq.append((2 * bidx + 0, p, k))   # conv1 (dilated)
+            seq.append((2 * bidx + 1, p, k))   # conv2 (dilation 1)
+
+    def kernel(x_hbm, *refs):
+        w_refs = refs[:2 * n_blocks]           # HBM (ANY)
+        b_refs = refs[2 * n_blocks:-1]         # VMEM-resident biases
+        out_ref = refs[-1]
+        b = pl.program_id(0)
+        t = pl.program_id(1)
+
+        def body(x_vmem, wbuf, xsem, wsem):
+            xdma = pltpu.make_async_copy(
+                x_hbm.at[b, :, pl.ds(t * TILE, W)], x_vmem, xsem)
+            xdma.start()
+
+            def wcopy(i):
+                ridx, p, k = seq[i]
+                return pltpu.make_async_copy(
+                    w_refs[ridx].at[p],
+                    wbuf.at[i % 2, :, pl.ds(0, k * C)],
+                    wsem.at[i % 2])
+
+            wcopy(0).start()
+            xdma.wait()
+            xin = x_vmem[:].astype(compute_dtype)
+            pos = jax.lax.broadcasted_iota(jnp.int32, (1, W), 1) + t * TILE
+            mask = ((pos >= H) & (pos < H + L)).astype(compute_dtype)
+
+            def conv(h, w, bias, k, d):
+                half = (k - 1) // 2
+                out = jnp.zeros((C, W), jnp.float32)
+                for tap in range(k):
+                    o = (tap - half) * d
+                    out = out + jnp.dot(
+                        w[:, tap * C:(tap + 1) * C].astype(dd),
+                        _shift(h, o, C, W).astype(dd),
+                        preferred_element_type=jnp.float32)
+                return ((out + bias.astype(jnp.float32))
+                        .astype(compute_dtype)) * mask
+
+            acc = None
+            i = 0
+            for bidx, k in enumerate(kernel_sizes):
+                b1 = b_refs[2 * bidx][:]
+                b2 = b_refs[2 * bidx + 1][:]
+                y = xin
+                for p in range(n_pairs):
+                    h = _lrelu(y)
+                    if i + 1 < len(seq):
+                        wcopy(i + 1).start()
+                    wcopy(i).wait()
+                    h = conv(h, wbuf[i % 2, :, :k * C], b1[p], k,
+                             dilations[p])
+                    i += 1
+                    h = _lrelu(h)
+                    if i + 1 < len(seq):
+                        wcopy(i + 1).start()
+                    wcopy(i).wait()
+                    h = conv(h, wbuf[i % 2, :, :k * C], b2[p], k, 1)
+                    i += 1
+                    y = y + h
+                acc = y if acc is None else acc + y
+            out_ref[0] = (acc / n_blocks)[:, H: H + TILE].astype(dtype)
+
+        pl.run_scoped(
+            body,
+            x_vmem=pltpu.VMEM((C, W), dtype),
+            wbuf=pltpu.VMEM((2, C, kmax * C), weights_hbm[0].dtype),
+            xsem=pltpu.SemaphoreType.DMA(()),
+            wsem=pltpu.SemaphoreType.DMA((2,)),
+        )
+
+    specs = ([pl.BlockSpec(memory_space=pl.ANY)]            # x
+             + [pl.BlockSpec(memory_space=pl.ANY)] * (2 * n_blocks)
+             + [pl.BlockSpec(memory_space=pltpu.VMEM)] * (2 * n_blocks))
+    out = pl.pallas_call(
+        kernel,
+        grid=(B, n_tiles),
+        in_specs=specs,
+        out_specs=pl.BlockSpec((1, C, TILE), lambda b, t: (b, 0, t),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((B, C, Lp), dtype),
+        interpret=interpret,
+    )(xt, *weights_hbm, *biases)
+    return jnp.transpose(out[:, :, :L], (0, 2, 1))
+
+
+def pack_mrf_params_streamed(gen_params: dict, stage: int, C: int,
+                             kernel_sizes=(3, 7, 11),
+                             weight_dtype=jnp.bfloat16):
+    """Pack a stage's MRF params for ``fused_mrf_stage_streamed``:
+    (weights, biases) with weights (n_pairs, C, k*C) in ``weight_dtype``
+    (left in HBM) and biases (n_pairs, C, 1) f32 (VMEM-resident)."""
+    flat = pack_mrf_params(gen_params, stage, C, kernel_sizes, jnp.float32)
+    weights, biases = [], []
+    for j in range(len(kernel_sizes)):
+        w1, b1, w2, b2 = flat[4 * j: 4 * j + 4]
+        weights += [w1.astype(weight_dtype), w2.astype(weight_dtype)]
+        biases += [b1, b2]
+    return tuple(weights), tuple(biases)
+
+
 def pack_post_params(gen_params: dict, C: int, dtype=jnp.float32):
     """Flatten the conv_post params into the fused head's layout:
     w_flat[(0), t*C + i] = K[t, i, 0] (tap-major rows, matching the patch

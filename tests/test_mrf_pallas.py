@@ -9,7 +9,9 @@ from cmtts_tpu.models.hifigan import LRELU_SLOPE, ResBlock
 from cmtts_tpu.ops.mrf_pallas import (
     _receptive_radius,
     fused_mrf_stage,
+    fused_mrf_stage_streamed,
     pack_mrf_params,
+    pack_mrf_params_streamed,
 )
 
 
@@ -66,6 +68,29 @@ def test_hifigan_fused_apply_matches_module():
     out_bf = hifigan_apply_fused(params, mel, cfg, interpret=True)
     np.testing.assert_allclose(np.asarray(out_bf), np.asarray(ref),
                                rtol=0.1, atol=0.05)
+
+
+@pytest.mark.parametrize("C,L,tile", [(256, 300, 256), (256, 700, 256)])
+def test_streamed_mrf_matches_flax(C, L, tile):
+    """Weight-streaming stage-0 kernel (bf16 weights DMA'd from HBM,
+    double-buffered) against the flax ResBlock stack."""
+    params = make_params(C)
+    x = jnp.asarray(np.random.RandomState(0).randn(2, L, C), jnp.float32) * 0.3
+    ref = flax_mrf(params, x, C)
+    # f32 weights: exact up to reassociation
+    w, b = pack_mrf_params_streamed(params, 0, C, weight_dtype=jnp.float32)
+    out = fused_mrf_stage_streamed(x, w, b, tile=tile, interpret=True,
+                                   compute_dtype=jnp.float32,
+                                   dot_dtype=jnp.float32)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=5e-4, atol=5e-4)
+    # production precision (bf16 weights/activations, f32 accumulate)
+    w16, b16 = pack_mrf_params_streamed(params, 0, C)
+    out16 = fused_mrf_stage_streamed(x, w16, b16, tile=tile, interpret=True,
+                                     compute_dtype=jnp.bfloat16,
+                                     dot_dtype=jnp.bfloat16)
+    np.testing.assert_allclose(np.asarray(out16, dtype=np.float32),
+                               np.asarray(ref), rtol=0.1, atol=0.05)
 
 
 def test_fused_mrf_single_tile_short_input():
