@@ -27,11 +27,14 @@ def write_config_root(root: str, repo_cfg_dir: str, val_size: int,
                       batch_size: int, tiny: bool = False,
                       max_seq_len: int | None = None,
                       save_step: int | None = None,
-                      log_step: int | None = None) -> str:
-    """Copy config/LJSpeech/*.yaml with paths re-pointed into ``root``."""
+                      log_step: int | None = None,
+                      dataset: str = "LJSpeech",
+                      speaker_embedder: str | None = None,
+                      external_speaker_dim: int | None = None) -> str:
+    """Copy config/<dataset>/*.yaml with paths re-pointed into ``root``."""
     import yaml
 
-    cfg_dir = os.path.join(root, "config", "LJSpeech")
+    cfg_dir = os.path.join(root, "config", dataset)
     os.makedirs(cfg_dir, exist_ok=True)
 
     with open(os.path.join(repo_cfg_dir, "preprocess.yaml")) as f:
@@ -39,10 +42,14 @@ def write_config_root(root: str, repo_cfg_dir: str, val_size: int,
     pre["path"]["raw_path"] = os.path.join(root, "raw")
     pre["path"]["preprocessed_path"] = os.path.join(root, "pre")
     pre["preprocessing"]["val_size"] = val_size
+    if speaker_embedder is not None:
+        pre["preprocessing"]["speaker_embedder"] = speaker_embedder
     with open(os.path.join(repo_cfg_dir, "model.yaml")) as f:
         model = yaml.safe_load(f)
     if max_seq_len:
         model["max_seq_len"] = max_seq_len
+    if external_speaker_dim is not None:
+        model["external_speaker_dim"] = external_speaker_dim
     if tiny:
         model["transformer"]["encoder_layer"] = 1
         model["transformer"]["encoder_hidden"] = 32
@@ -78,21 +85,60 @@ def main():
                     help="shrink the model config for CPU smoke runs")
     ap.add_argument("--save_step", type=int, default=None)
     ap.add_argument("--log_step", type=int, default=None)
+    ap.add_argument("--speakers", type=int, default=0,
+                    help=">0: VCTK-layout multi-speaker corpus with "
+                         "per-speaker voice profiles (zero-shot protocol)")
+    ap.add_argument("--utts_per_speaker", type=int, default=40)
+    ap.add_argument("--holdout", type=int, default=1,
+                    help="speakers kept out of preprocess/train entirely "
+                         "(zero-shot targets), written to raw_holdout/")
     args = ap.parse_args()
 
-    from cmtts_tpu.data.synthcorpus import generate_corpus
+    from cmtts_tpu.data.synthcorpus import (generate_corpus,
+                                            generate_multispeaker_corpus)
 
     raw = os.path.join(args.out, "raw")
     pre = os.path.join(args.out, "pre")
-    names = generate_corpus(raw, pre, n_utts=args.n, seed=args.seed,
-                            n_words=(args.words_min, args.words_max))
-    repo_cfg = os.path.join(os.path.dirname(os.path.dirname(
-        os.path.abspath(__file__))), "config", "LJSpeech")
-    cfg_root = write_config_root(args.out, repo_cfg, args.val_size,
-                                 args.batch_size, tiny=args.tiny,
-                                 save_step=args.save_step,
-                                 log_step=args.log_step)
-    print(f"==> {len(names)} utterances under {raw}")
+    repo_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+    if args.speakers > 0:
+        train_spk, hold_spk, phones = generate_multispeaker_corpus(
+            raw, pre, n_speakers=args.speakers,
+            utts_per_speaker=args.utts_per_speaker, seed=args.seed,
+            n_words=(args.words_min, args.words_max),
+            holdout_speakers=args.holdout)
+        cfg_root = write_config_root(
+            args.out, os.path.join(repo_root, "config", "VCTK"),
+            args.val_size, args.batch_size, tiny=args.tiny,
+            save_step=args.save_step, log_step=args.log_step,
+            dataset="VCTK", speaker_embedder="GE2E",
+            external_speaker_dim=256)
+        # zero-shot source meta for the held-out utterances: ground-truth
+        # phones as {PH ...} lines (speaker column is a dummy train
+        # speaker — zero-shot identity comes from --ref_wav/--spker_embed)
+        src = os.path.join(args.out, "zeroshot_source.txt")
+        with open(src, "w") as f:
+            for (spk, base), ph in sorted(phones.items()):
+                if spk in hold_spk:
+                    # match get_alignment: trim boundary silences, keep
+                    # interior sp (preprocessor.py:73-95)
+                    core = [p for p in ph if p != "sil"]
+                    while core and core[0] == "sp":
+                        core = core[1:]
+                    while core and core[-1] == "sp":
+                        core = core[:-1]
+                    f.write(f"{base}|{train_spk[0]}|{{{' '.join(core)}}}|syn\n")
+        print(f"==> {len(train_spk)} train + {len(hold_spk)} holdout "
+              f"speakers x {args.utts_per_speaker} utts under {raw}")
+        print(f"==> zero-shot source: {src}")
+    else:
+        names = generate_corpus(raw, pre, n_utts=args.n, seed=args.seed,
+                                n_words=(args.words_min, args.words_max))
+        cfg_root = write_config_root(
+            args.out, os.path.join(repo_root, "config", "LJSpeech"),
+            args.val_size, args.batch_size, tiny=args.tiny,
+            save_step=args.save_step, log_step=args.log_step)
+        print(f"==> {len(names)} utterances under {raw}")
     print(f"==> config root: {cfg_root}")
 
 

@@ -46,6 +46,14 @@ def main():
                              "dispatch latency; LSM sampler probabilities "
                              "then update every K steps instead of every "
                              "step (reference updates per step)")
+    parser.add_argument("--scan_unroll", type=int, default=20,
+                        help="denoiser residual-stack lax.scan unroll "
+                             "factor (clamped to the layer count). Full "
+                             "unroll lets XLA fuse/pipeline across blocks: "
+                             "v5e batch 32x768 bf16 train step 37.5 -> "
+                             "32.5 ms (tools/bench_train.py --unroll). "
+                             "1 = reference-like sequential scan, fastest "
+                             "compile")
     args = parser.parse_args()
 
     import jax
@@ -73,6 +81,11 @@ def main():
         cfg = dataclasses.replace(cfg, train=dataclasses.replace(
             cfg.train, cm=dataclasses.replace(cm, training_mode=args.model)))
         cm = cfg.train.cm
+    if args.scan_unroll != cfg.model.denoiser.scan_unroll:
+        import dataclasses
+        cfg = dataclasses.replace(cfg, model=dataclasses.replace(
+            cfg.model, denoiser=dataclasses.replace(
+                cfg.model.denoiser, scan_unroll=args.scan_unroll)))
 
     total_step = args.total_step or cfg.train.total_step
     log_step = args.log_every or cfg.train.log_step

@@ -97,6 +97,11 @@ class DenoiserConfig:
     residual_layers: int = 20
     residual_channels: int = 256
     denoiser_dropout: float = 0.2
+    # lax.scan unroll factor for the residual-block stack: >1 exposes
+    # cross-block fusion/pipelining to XLA at the cost of compile time
+    # (v5e, batch 32x768 bf16: full train step 37.5 -> 32.5 ms at full
+    # unroll — tools/bench_train.py --unroll 20)
+    scan_unroll: int = 1
 
 
 @dataclass(frozen=True)

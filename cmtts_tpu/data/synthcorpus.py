@@ -110,20 +110,27 @@ def _phone_class(p: str) -> str:
     return "vowel" if p in VOWELS else "cons"
 
 
-def _envelope(spec: dict, freqs: np.ndarray) -> np.ndarray:
-    """Spectral magnitude envelope at ``freqs`` for a phone spec."""
+def _envelope(spec: dict, freqs: np.ndarray, formant_scale: float = 1.0,
+              tilt: float = 3500.0) -> np.ndarray:
+    """Spectral magnitude envelope at ``freqs`` for a phone spec.
+
+    ``formant_scale`` models vocal-tract length (scales formant centers
+    and noise bands); ``tilt`` is the glottal spectral-tilt corner (Hz).
+    Defaults reproduce the single-speaker corpus bit-for-bit.
+    """
     env = np.zeros_like(freqs)
     for i, f in enumerate(spec.get("formants", ())):
+        f = f * formant_scale
         bw = 60.0 + 40.0 * i + 0.05 * f
         env += 1.0 / (1.0 + ((freqs - f) / bw) ** 2) * (0.8 ** i)
     band = spec.get("noise_band")
     if band is not None:
-        lo, hi = band
+        lo, hi = band[0] * formant_scale, band[1] * formant_scale
         env += 0.8 * ((freqs >= lo) & (freqs <= hi)) * \
             np.exp(-0.5 * ((freqs - (lo + hi) / 2) / ((hi - lo) / 2.5)) ** 2)
     # glottal spectral tilt for voiced phones
     if spec.get("voiced"):
-        env = env * (1.0 / (1.0 + (freqs / 3500.0) ** 2))
+        env = env * (1.0 / (1.0 + (freqs / tilt) ** 2))
     return env * spec.get("level", 1.0)
 
 
@@ -181,12 +188,29 @@ def f0_contour(phones, durs, rng: np.random.RandomState,
     return np.where(voiced, f0, 0.0)
 
 
+def speaker_profile(rng: np.random.RandomState) -> dict:
+    """Deterministic per-speaker voice parameters for the multi-speaker
+    corpus: vocal-tract length (formant scale), f0 register, glottal
+    tilt, and breathiness.  Ranges are wide enough that speakers are
+    trivially separable by a speaker encoder but all remain
+    speech-shaped."""
+    return dict(
+        formant_scale=float(rng.uniform(0.84, 1.22)),
+        f0_base=float(rng.uniform(110.0, 280.0)),
+        tilt=float(rng.uniform(2300.0, 5200.0)),
+        breathiness=float(rng.uniform(0.6, 1.8)),
+    )
+
+
 def synthesize(phones, durs, f0_frames, rng: np.random.RandomState,
-               n_harm: int = 40) -> np.ndarray:
+               n_harm: int = 40, profile: dict | None = None) -> np.ndarray:
     """Render the utterance to a waveform (float32, 22.05 kHz)."""
     total_frames = int(np.sum(durs))
     n = total_frames * HOP
     freqs = np.fft.rfftfreq(NFFT, 1.0 / SR)
+    fscale = profile["formant_scale"] if profile else 1.0
+    tilt = profile["tilt"] if profile else 3500.0
+    breath = profile["breathiness"] if profile else 1.0
 
     # per-frame envelope + voicing + level
     env = np.zeros((total_frames, len(freqs)))
@@ -198,7 +222,7 @@ def synthesize(phones, durs, f0_frames, rng: np.random.RandomState,
         if spec is None:  # sil/sp
             pos += d
             continue
-        e = _envelope(spec, freqs)
+        e = _envelope(spec, freqs, formant_scale=fscale, tilt=tilt)
         sl = slice(pos, pos + d)
         if spec.get("stop"):
             # closure (first ~60%) silent, then burst
@@ -212,7 +236,7 @@ def synthesize(phones, durs, f0_frames, rng: np.random.RandomState,
             if spec.get("voiced"):
                 voiced_amp[sl] = 1.0
             if spec.get("noise_band") is not None:
-                noise_amp[sl] = 0.6 if not spec.get("voiced") else 0.3
+                noise_amp[sl] = 0.6 if not spec.get("voiced") else 0.3 * breath
         pos += d
 
     # smooth coarticulation: 3-frame triangular smoothing of the envelope
@@ -280,6 +304,21 @@ def _write_textgrid(path: str, phones, durs):
         f.write("\n".join(lines) + "\n")
 
 
+def _write_utterance(spk_dir: str, tg_path: str, base: str, rng,
+                     n_words, f0_base: float,
+                     profile: dict | None = None) -> list[str]:
+    """Render + write one utterance (wav, lab, TextGrid); returns phones."""
+    phones, durs = sample_utterance(rng, n_words)
+    f0 = f0_contour(phones, durs, rng, base=f0_base)
+    wav = synthesize(phones, durs, f0, rng, profile=profile)
+    write_wav(os.path.join(spk_dir, f"{base}.wav"), wav, SR)
+    with open(os.path.join(spk_dir, f"{base}.lab"), "w") as f:
+        # pseudo-text: the phone string (metrics' text_lookup surface)
+        f.write(" ".join(p for p in phones if p not in ("sil", "sp")))
+    _write_textgrid(tg_path, phones, durs)
+    return phones
+
+
 def generate_corpus(raw_root: str, pre_root: str, n_utts: int = 200,
                     seed: int = 1234, speaker: str = "SYN",
                     n_words: tuple[int, int] = (3, 7),
@@ -293,15 +332,50 @@ def generate_corpus(raw_root: str, pre_root: str, n_utts: int = 200,
     for i in range(n_utts):
         rng = np.random.RandomState(seed + i)
         base = f"syn{i:04d}"
-        phones, durs = sample_utterance(rng, n_words)
-        f0 = f0_contour(phones, durs, rng,
-                        base=rng.uniform(*base_f0_range))
-        wav = synthesize(phones, durs, f0, rng)
-        write_wav(os.path.join(spk_dir, f"{base}.wav"), wav, SR)
-        with open(os.path.join(spk_dir, f"{base}.lab"), "w") as f:
-            # pseudo-text: the phone string (metrics' text_lookup surface)
-            f.write(" ".join(p for p in phones if p not in ("sil", "sp")))
-        _write_textgrid(os.path.join(tg_dir, f"{base}.TextGrid"),
-                        phones, durs)
+        _write_utterance(spk_dir, os.path.join(tg_dir, f"{base}.TextGrid"),
+                         base, rng, n_words, rng.uniform(*base_f0_range))
         names.append(base)
     return names
+
+
+def generate_multispeaker_corpus(raw_root: str, pre_root: str,
+                                 n_speakers: int = 12,
+                                 utts_per_speaker: int = 40,
+                                 seed: int = 7777,
+                                 n_words: tuple[int, int] = (3, 7),
+                                 holdout_speakers: int = 1):
+    """VCTK-layout multi-speaker corpus with per-speaker voice profiles.
+
+    Speakers ``v00 .. v{N-1}``; the LAST ``holdout_speakers`` are written
+    under ``<raw_root>_holdout`` (wavs + labs + TextGrids under
+    ``<pre_root>_holdout``) so the standard preprocess/train never sees
+    them — they are the zero-shot targets.  TextGrids go to
+    ``<pre_root>/TextGrid/<speaker>/<base>.TextGrid`` (the VCTK layout
+    the preprocessor expects, data/preprocessor.py:106-108).
+
+    Returns ``(train_speakers, holdout_speakers_list, phones_by_utt)``
+    where ``phones_by_utt[(spk, base)]`` is the ground-truth phone
+    sequence (for zero-shot token input without a lexicon round-trip).
+    """
+    names: dict[tuple[str, str], list[str]] = {}
+    train_spk, hold_spk = [], []
+    for si in range(n_speakers):
+        spk = f"v{si:02d}"
+        held = si >= n_speakers - holdout_speakers
+        rroot = raw_root + ("_holdout" if held else "")
+        proot = pre_root + ("_holdout" if held else "")
+        (hold_spk if held else train_spk).append(spk)
+        spk_dir = os.path.join(rroot, spk)
+        tg_dir = os.path.join(proot, "TextGrid", spk)
+        os.makedirs(spk_dir, exist_ok=True)
+        os.makedirs(tg_dir, exist_ok=True)
+        profile = speaker_profile(np.random.RandomState(seed * 31 + si))
+        for ui in range(utts_per_speaker):
+            rng = np.random.RandomState(seed + si * 100003 + ui)
+            base = f"{spk}_{ui:03d}"
+            f0_base = profile["f0_base"] * rng.uniform(0.95, 1.05)
+            phones = _write_utterance(
+                spk_dir, os.path.join(tg_dir, f"{base}.TextGrid"),
+                base, rng, n_words, f0_base, profile=profile)
+            names[(spk, base)] = phones
+    return train_spk, hold_spk, names

@@ -105,6 +105,7 @@ class Denoiser(nn.Module):
             length=N,
             in_axes=nn.broadcast,
             out_axes=0,
+            unroll=min(N, max(1, int(getattr(self.cfg, "scan_unroll", 1)))),
         )
         h, skips = ScanBlock(C, self.multi_speaker, name="blocks")(h, t, cond, spk)
         h = skips.sum(axis=0) / math.sqrt(N)

@@ -419,7 +419,12 @@ class PreDefinedEmbedder:
                 params, stats = v["params"], v.get("batch_stats")
             self._impl = DeepSpeakerInference(params, stats)
         elif self.embedder_type == "GE2E":
-            if ckpt_path:
+            if ckpt_path and ckpt_path.endswith(".npy"):
+                # in-repo trainer output (train/ge2e_trainer.py:153-156):
+                # {"encoder": params, "sim_weight", "sim_bias"}
+                blob = np.load(ckpt_path, allow_pickle=True)[0]
+                params = blob["encoder"]
+            elif ckpt_path:
                 params = load_torch_ge2e(ckpt_path)
             else:
                 model = GE2EEncoder()

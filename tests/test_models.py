@@ -185,3 +185,26 @@ def test_ph_pitch_type_forward():
     assert out["cond"].shape == (B, T_mel, cfg.model.transformer.encoder_hidden)
     assert out["p_pred"]["pitch_pred"].shape == (B, T_txt, 1)
     assert out["p_pred"]["cwt"] is None
+
+
+def test_denoiser_scan_unroll_equivalent():
+    """scan_unroll is an execution-schedule knob only: unrolled and
+    sequential residual stacks must produce identical outputs from the
+    same (stacked) parameters."""
+    import dataclasses
+
+    from cmtts_tpu.core.config import DenoiserConfig
+    from cmtts_tpu.models.denoiser import Denoiser
+
+    cfg1 = DenoiserConfig(residual_layers=4, residual_channels=16,
+                          scan_unroll=1)
+    cfg4 = dataclasses.replace(cfg1, scan_unroll=4)
+    B, L, M = 2, 12, 80
+    rng = jax.random.PRNGKey(3)
+    x = jax.random.normal(rng, (B, L, M))
+    t = jnp.asarray([0.5, 2.0])
+    cond = jax.random.normal(jax.random.fold_in(rng, 1), (B, L, 16))
+    params = Denoiser(cfg1).init(rng, x, t, cond)["params"]
+    y1 = Denoiser(cfg1).apply({"params": params}, x, t, cond)
+    y4 = Denoiser(cfg4).apply({"params": params}, x, t, cond)
+    np.testing.assert_array_equal(np.asarray(y1), np.asarray(y4))

@@ -27,6 +27,8 @@ def main():
     ap.add_argument("--t_mel", type=int, default=768)
     ap.add_argument("--t_txt", type=int, default=96)
     ap.add_argument("--f32", action="store_true")
+    ap.add_argument("--unroll", type=int, default=1,
+                    help="denoiser residual-scan unroll factor")
     args = ap.parse_args()
 
     import jax
@@ -38,6 +40,12 @@ def main():
     from cmtts_tpu.train.state import create_train_state, make_optimizer
 
     cfg = load_configs("LJSpeech")
+    if args.unroll != 1:
+        import dataclasses
+
+        cfg = dataclasses.replace(cfg, model=dataclasses.replace(
+            cfg.model, denoiser=dataclasses.replace(
+                cfg.model.denoiser, scan_unroll=args.unroll)))
     model = CMTTS(cfg)
     B, T_txt, T_mel = args.batch, args.t_txt, args.t_mel
     rng = np.random.RandomState(0)
@@ -111,7 +119,8 @@ def main():
                                 loss=round(loss, 3))
         print(json.dumps({"config": f"K={K}", "batch": B, "t_mel": T_mel,
                           "dtype": "f32" if args.f32 else "bf16",
-                          **results[f"K{K}"]}))
+                          "unroll": args.unroll,
+                          **results[f"K{K}"]}), flush=True)
     if args.K > 1:
         print(json.dumps({"speedup_scan": round(
             results[f"K{args.K}"]["steps_per_sec"] /
