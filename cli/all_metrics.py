@@ -41,6 +41,11 @@ def main():
                         help="LDNet config.yml accompanying --ld_ckpt")
     parser.add_argument("--asr_model", type=str, default=None,
                         help="local whisper-weights dir (or hub id) for wer")
+    parser.add_argument("--speaker_embedder_ckpt", type=str, default=None,
+                        help="GE2E checkpoint (.npy from cli/train_ge2e.py "
+                             "or torch .pt) for speaker_cos; random-init "
+                             "encoder if omitted (reference uses "
+                             "Resemblyzer, all_metrics.py:561-601)")
     parser.add_argument("--meta_txt", nargs="*", default=None,
                         help="train/val.txt metadata files supplying "
                              "reference transcripts for wer")
@@ -53,6 +58,11 @@ def main():
     mos_kw = dict(mos_ckpt=args.mos_ckpt, ld_ckpt=args.ld_ckpt,
                   ld_config=args.ld_config, transcriber=args.asr_model,
                   meta_txt=args.meta_txt)
+    if args.speaker_embedder_ckpt:
+        from cmtts_tpu.models.speaker import GE2EInference, load_ge2e_params
+
+        inf = GE2EInference(load_ge2e_params(args.speaker_embedder_ckpt))
+        mos_kw["speaker_embedder"] = inf.embed_utterance
     if args.single:
         cal = Cal(args.syn_root, data_type=args.data_type,
                   raw_folder=args.raw_folder, max_pairs=args.max_pairs,

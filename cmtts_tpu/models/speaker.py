@@ -156,8 +156,12 @@ def trim_silences_energy(wav: np.ndarray, sr: int = GE2E_SAMPLING_RATE,
     db = 20 * np.log10(rms / (np.abs(wav).max() + 1e-9) + 1e-12)
     voiced = db > threshold_db
     # smooth with a width-8 moving average (reference vad_moving_average_width)
+    # NB np.convolve(mode="same") returns max(len(input), len(kernel)) —
+    # skip smoothing when the clip has fewer windows than the kernel
     kernel = np.ones(8) / 8
-    voiced = np.convolve(voiced.astype(np.float32), kernel, mode="same") > 0.5
+    if len(voiced) >= len(kernel):
+        voiced = np.convolve(voiced.astype(np.float32), kernel,
+                             mode="same") > 0.5
     mask = np.repeat(voiced, win)
     out = wav[:n][mask]
     return out if len(out) > 0 else wav
@@ -402,6 +406,22 @@ def convert_keras_deepspeaker_h5(h5_path: str) -> tuple[dict, dict]:
 # Unified wrapper (reference model/speaker_embedder.py:11-42 and
 # speakerembedder/speaker_embedder.py:16-53)
 # --------------------------------------------------------------------------
+def load_ge2e_params(ckpt_path: str | None):
+    """GE2E encoder params from any supported source: the in-repo
+    trainer's ``.npy`` (train/ge2e_trainer.py — ``{"encoder": params,
+    "sim_weight", "sim_bias"}``), a torch ``.pt`` state_dict, or
+    random-init when no checkpoint is given."""
+    if ckpt_path and ckpt_path.endswith(".npy"):
+        blob = np.load(ckpt_path, allow_pickle=True)[0]
+        return blob["encoder"]
+    if ckpt_path:
+        return load_torch_ge2e(ckpt_path)
+    model = GE2EEncoder()
+    return model.init(jax.random.PRNGKey(0),
+                      jnp.zeros((1, GE2E_PARTIAL_FRAMES,
+                                 GE2E_MEL_CHANNELS)))["params"]
+
+
 class PreDefinedEmbedder:
     """Preprocess-time speaker embedder selected by config
     (``preprocess.yaml speaker_embedder: DeepSpeaker | GE2E``)."""
@@ -419,19 +439,7 @@ class PreDefinedEmbedder:
                 params, stats = v["params"], v.get("batch_stats")
             self._impl = DeepSpeakerInference(params, stats)
         elif self.embedder_type == "GE2E":
-            if ckpt_path and ckpt_path.endswith(".npy"):
-                # in-repo trainer output (train/ge2e_trainer.py:153-156):
-                # {"encoder": params, "sim_weight", "sim_bias"}
-                blob = np.load(ckpt_path, allow_pickle=True)[0]
-                params = blob["encoder"]
-            elif ckpt_path:
-                params = load_torch_ge2e(ckpt_path)
-            else:
-                model = GE2EEncoder()
-                params = model.init(jax.random.PRNGKey(0),
-                                    jnp.zeros((1, GE2E_PARTIAL_FRAMES,
-                                               GE2E_MEL_CHANNELS)))["params"]
-            self._impl = GE2EInference(params)
+            self._impl = GE2EInference(load_ge2e_params(ckpt_path))
         else:
             raise ValueError(f"unknown speaker embedder {self.embedder_type}")
 

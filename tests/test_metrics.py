@@ -342,3 +342,48 @@ def test_cal_wer_mocked_end_to_end(results_tree):
                raw_folder=str(root / "raw"), transcriber=fake_asr)
     with pytest.raises(RuntimeError, match="transcripts"):
         cal2.compute_wer()
+
+
+def test_all_metrics_cli_speaker_embedder_ckpt(tmp_path):
+    """`cli/all_metrics.py --speaker_embedder_ckpt` loads a GE2E
+    checkpoint (the in-repo trainer's .npy layout) and uses it for
+    speaker_cos (reference uses Resemblyzer, all_metrics.py:561-601)."""
+    import subprocess
+    import sys
+
+    import jax
+    import jax.numpy as jnp
+
+    from cmtts_tpu.models.speaker import (GE2E_MEL_CHANNELS,
+                                          GE2E_PARTIAL_FRAMES, GE2EEncoder)
+
+    raw = tmp_path / "raw"
+    syn = tmp_path / "syn"
+    raw.mkdir()
+    syn.mkdir()
+    w = tone(200.0, dur=1.2, noise=0.01)
+    write_wav(str(raw / "a.wav"), w, SR)
+    write_wav(str(syn / "a.wav"), w, SR)
+
+    params = GE2EEncoder().init(
+        jax.random.PRNGKey(4),
+        jnp.zeros((1, GE2E_PARTIAL_FRAMES, GE2E_MEL_CHANNELS)))["params"]
+    import jax.tree_util as jtu
+    blob = {"encoder": jtu.tree_map(np.asarray, params),
+            "sim_weight": np.asarray(10.0), "sim_bias": np.asarray(-5.0)}
+    ckpt = tmp_path / "ge2e_params.npy"
+    np.save(str(ckpt), np.asarray([blob], dtype=object), allow_pickle=True)
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    env = dict(os.environ, JAX_PLATFORMS="cpu")
+    env.pop("PALLAS_AXON_POOL_IPS", None)
+    out = subprocess.run(
+        [sys.executable, os.path.join(repo, "cli", "all_metrics.py"),
+         "--syn_root", str(syn), "--raw_folder", str(raw),
+         "--data_type", "LJSpeech", "--single", "--metrics", "speaker_cos",
+         "--speaker_embedder_ckpt", str(ckpt)],
+        capture_output=True, text=True, env=env, cwd=repo)
+    assert out.returncode == 0, out.stderr
+    val = float(out.stdout.strip().split("speaker_cos:")[1])
+    # identical wavs -> cosine 1.0 under any embedder
+    np.testing.assert_allclose(val, 1.0, atol=1e-3)

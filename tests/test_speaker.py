@@ -266,3 +266,15 @@ def test_deepspeaker_head_numpy_golden():
     emb = pooled @ np.asarray(aff["kernel"]) + np.asarray(aff["bias"])
     want = emb / np.sqrt(np.maximum((emb ** 2).sum(1, keepdims=True), 1e-12))
     np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-5)
+
+
+def test_trim_silences_short_clip():
+    """Clips shorter than the 8-window smoothing kernel must not crash
+    (np.convolve mode='same' returns max(len, kernel) — regression)."""
+    from cmtts_tpu.models.speaker import trim_silences_energy
+
+    rng = np.random.RandomState(0)
+    for n in (100, 3966, 5288, 6000):
+        wav = (0.1 * rng.randn(n)).astype(np.float32)
+        out = trim_silences_energy(wav, sr=22050)
+        assert 0 < len(out) <= n
