@@ -46,6 +46,13 @@ def main():
                              "dispatch latency; LSM sampler probabilities "
                              "then update every K steps instead of every "
                              "step (reference updates per step)")
+    parser.add_argument("--tp", type=int, default=1,
+                        help="tensor-parallel degree: Megatron-shard the "
+                             "denoiser blocks (column-parallel gate/filter "
+                             "convs, row-parallel out_proj) over a 2-D "
+                             "(data x model) mesh; device_count/tp becomes "
+                             "the data-parallel degree. 1 = pure DP "
+                             "(reference is DDP-only, train_util.py:100-117)")
     parser.add_argument("--scan_unroll", type=int, default=20,
                         help="denoiser residual-stack lax.scan unroll "
                              "factor (clamped to the layer count). Full "
@@ -170,8 +177,19 @@ def main():
         if step0 == 0:
             state = create_train_state(teacher_params, tx, len(cm.ema_rate))
 
-    mesh = make_mesh()
-    state = replicate_state(state, mesh)
+    if args.tp > 1:
+        from cmtts_tpu.parallel.sharding import make_mesh_2d, tp_shard_tree
+
+        n_dev = jax.device_count()
+        if n_dev % args.tp:
+            raise SystemExit(f"--tp {args.tp} does not divide "
+                             f"device_count {n_dev}")
+        mesh = make_mesh_2d(n_dev // args.tp, args.tp)
+        state = tp_shard_tree(state, mesh)
+        print(f"==> mesh: dp{n_dev // args.tp} x tp{args.tp}")
+    else:
+        mesh = make_mesh()
+        state = replicate_state(state, mesh)
 
     K = max(1, args.steps_per_call)
     if K > 1 and cm.scale_mode != "fixed":

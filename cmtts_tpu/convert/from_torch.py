@@ -164,9 +164,20 @@ def _convert_denoiser(sd: _SD, prefix: str, cfg: Config) -> dict:
                             "conditioner_projection.conv.weight"),
             "bias": stack(sd, "conditioner_projection.conv.bias"),
         },
-        "conv": {
-            "kernel": stack(lambda k: _conv(sd(k)), "conv_layer.conv.weight"),
-            "bias": stack(sd, "conv_layer.conv.bias"),
+        # reference computes one (2C out) conv then torch.chunk's it into
+        # gate|filter (blocks.py:664-668); the flax block keeps the two
+        # halves as separate TP-shardable convs — split along out channels
+        "conv_gate": {
+            "kernel": stack(lambda k: _conv(sd(k))[..., : cfg.model.denoiser.residual_channels],
+                            "conv_layer.conv.weight"),
+            "bias": stack(sd, "conv_layer.conv.bias")[
+                :, : cfg.model.denoiser.residual_channels],
+        },
+        "conv_filt": {
+            "kernel": stack(lambda k: _conv(sd(k))[..., cfg.model.denoiser.residual_channels:],
+                            "conv_layer.conv.weight"),
+            "bias": stack(sd, "conv_layer.conv.bias")[
+                :, cfg.model.denoiser.residual_channels:],
         },
         "out_proj": {
             "kernel": stack(lambda k: _conv1x1_as_dense(sd(k)),

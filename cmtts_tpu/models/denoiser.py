@@ -60,9 +60,19 @@ class ResidualBlock(nn.Module):
             s_proj = nn.Dense(C, kernel_init=nn.initializers.xavier_uniform(),
                               use_bias=False, name="spk_proj")(spk)
             y = y + s_proj[:, None, :]
-        y = nn.Conv(2 * C, (3,), padding="SAME",
-                    kernel_init=nn.initializers.he_normal(), name="conv")(y)
-        gate, filt = jnp.split(y, 2, axis=-1)
+        # The reference computes one (3, C, 2C) conv then chunks into
+        # gate|filter halves (blocks.py:664-668). Two separate C-wide
+        # convs are the same math (and the same he_normal fan_in), but
+        # keep the gated product shard-LOCAL under tensor parallelism:
+        # with the fused kernel column-sharded, the chunk boundary at C
+        # lands each half on a different device subset and GSPMD has to
+        # reshard every block.
+        gate = nn.Conv(C, (3,), padding="SAME",
+                       kernel_init=nn.initializers.he_normal(),
+                       name="conv_gate")(y)
+        filt = nn.Conv(C, (3,), padding="SAME",
+                       kernel_init=nn.initializers.he_normal(),
+                       name="conv_filt")(y)
         y = jax.nn.sigmoid(gate) * jnp.tanh(filt)
         y = nn.Dense(2 * C, kernel_init=nn.initializers.he_normal(),
                      name="out_proj")(y)

@@ -122,3 +122,64 @@ def gather_per_sample(x: Any, force_allgather: bool = False) -> np.ndarray:
 
         return np.asarray(multihost_utils.process_allgather(x, tiled=True))
     return np.asarray(jax.device_get(x))
+
+
+# -- tensor parallelism (denoiser Megatron split) -----------------------------
+#
+# The WaveNet denoiser carries ~all training FLOPs (20 gated residual
+# blocks, C=256). Each block is the classic two-matmul sandwich:
+# column-parallel up-projections (conv_gate / conv_filt — separate
+# modules precisely so the gated product stays shard-local), then the
+# row-parallel out_proj whose contraction GSPMD closes with one psum
+# per block over the 'model' axis. Everything outside the blocks
+# (conditioning net, variance adaptor, heads) is tiny and stays
+# replicated. No hand-written collectives: params are committed to
+# NamedShardings and XLA's SPMD partitioner inserts the all-gathers /
+# reduce-scatters (scaling-book recipe; replaces nothing in the
+# reference, which is DDP-only — train_util.py:100-117).
+
+_TP_BLOCK_SPECS = {
+    "conv_gate": {"kernel": P(None, None, None, "model"),
+                  "bias": P(None, "model")},
+    "conv_filt": {"kernel": P(None, None, None, "model"),
+                  "bias": P(None, "model")},
+    # row-parallel: contraction (input) axis sharded, output replicated
+    # after the GSPMD-inserted psum; bias replicated (added post-psum)
+    "out_proj": {"kernel": P(None, "model", None), "bias": P()},
+}
+
+
+def make_mesh_2d(n_data: int, n_model: int,
+                 axes: tuple[str, str] = ("data", "model")) -> Mesh:
+    """2-D (data x model) mesh. Lay 'model' along the mesh minor axis so
+    per-block psums ride the fastest ICI links."""
+    need = n_data * n_model
+    devices = jax.devices()
+    if len(devices) < need:
+        raise ValueError(f"need {need} devices, have {len(devices)}")
+    return Mesh(np.asarray(devices[:need]).reshape(n_data, n_model), axes)
+
+
+def _tp_spec_for_path(path) -> P:
+    names = [getattr(k, "key", None) for k in path]
+    # matches .../denoiser/blocks/<layer>/<param> at any prefix depth —
+    # the same leaf layout appears inside params, EMA/target copies and
+    # the optimizer moments
+    if len(names) >= 3 and names[-3] == "blocks":
+        spec = _TP_BLOCK_SPECS.get(names[-2], {}).get(names[-1])
+        if spec is not None:
+            return spec
+    return P()
+
+
+def tp_shard_tree(tree: Any, mesh: Mesh) -> Any:
+    """device_put a params-shaped pytree (params, EMA, target, optimizer
+    moments, or a whole train state) with the denoiser TP layout;
+    non-block leaves are replicated."""
+
+    def put(path, x):
+        if isinstance(x, (np.ndarray, jax.Array)):
+            return jax.device_put(x, NamedSharding(mesh, _tp_spec_for_path(path)))
+        return x
+
+    return jax.tree_util.tree_map_with_path(put, tree)
