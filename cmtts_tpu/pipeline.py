@@ -66,13 +66,19 @@ class Synthesizer:
         """``mesh``: optional ``jax.sharding.Mesh`` — batch inputs are
         sharded over its 'data' axis and params replicated, so one call
         serves a multi-chip slice (XLA partitions the whole fused graph;
-        batch must divide the device count)."""
+        batch must divide the 'data' axis size).  A 2-D mesh with a
+        'model' axis additionally Megatron-shards the denoiser blocks
+        (``tp_shard_tree``) — tensor-parallel sampling for latency-bound
+        single-sample synthesis, where batch sharding can't help."""
         self.cfg = cfg
         self.mesh = mesh
         if mesh is not None:
-            from cmtts_tpu.parallel.sharding import replicated
+            from cmtts_tpu.parallel.sharding import replicated, tp_shard_tree
 
-            cm_params = jax.device_put(cm_params, replicated(mesh))
+            if "model" in mesh.axis_names:
+                cm_params = tp_shard_tree(cm_params, mesh)
+            else:
+                cm_params = jax.device_put(cm_params, replicated(mesh))
             if vocoder_params is not None:
                 vocoder_params = jax.device_put(vocoder_params,
                                                 replicated(mesh))

@@ -194,6 +194,41 @@ def test_sharded_inference_matches_single_device():
     np.testing.assert_allclose(mel1, mel2, rtol=1e-5, atol=1e-6)
 
 
+def test_tp_inference_matches_single_device():
+    """Synthesizer on a (1 data x 8 model) mesh — denoiser Megatron-
+    sharded, everything else replicated — == unsharded synthesis.
+    This is the latency-bound single-sample path where batch sharding
+    cannot help."""
+    from cmtts_tpu.parallel.sharding import make_mesh_2d
+    from cmtts_tpu.pipeline import Synthesizer
+
+    cfg = tiny_config()
+    model = CMTTS(cfg)
+    rng = jax.random.PRNGKey(0)
+    B, T_txt = 2, 8
+    texts = np.tile(np.arange(1, T_txt + 1, dtype=np.int32), (B, 1))
+    variables = model.init(
+        {"params": rng, "dropout": rng},
+        jnp.zeros((B, 32, cfg.stft.n_mel_channels)), jnp.zeros(B),
+        speakers=jnp.zeros(B, jnp.int32), texts=jnp.asarray(texts),
+        src_lens=jnp.full((B,), T_txt, jnp.int32), deterministic=True)
+    params = variables["params"]
+    toks = [texts[i] for i in range(B)]
+
+    plain = Synthesizer(cfg, params, None, T=1, text_buckets=(8,),
+                        mel_buckets=(32,), compute_dtype=jnp.float32)
+    mel1, lens1, _ = plain(toks, mel_bucket=32)
+
+    tp = Synthesizer(cfg, params, None, T=1, text_buckets=(8,),
+                     mel_buckets=(32,), compute_dtype=jnp.float32,
+                     mesh=make_mesh_2d(1, 8))
+    k = tp.cm_params["denoiser"]["blocks"]["conv_filt"]["kernel"]
+    assert "model" in str(k.sharding.spec)
+    mel2, lens2, _ = tp(toks, mel_bucket=32)
+    np.testing.assert_array_equal(lens1, lens2)
+    np.testing.assert_allclose(mel1, mel2, rtol=1e-5, atol=1e-5)
+
+
 def test_padded_duplicates_contribute_zero_loss():
     """pad_batch_to_multiple adds sample_valid; the train step must be
     EXACTLY invariant to the padded rows' contents (VERDICT r2 weak #5 —
