@@ -158,8 +158,15 @@ class Synthesizer:
                 from cmtts_tpu.models.hifigan import hifigan_apply_fused
 
                 interpret = jax.default_backend() == "cpu"
+                # Pallas custom calls have no GSPMD partitioning rule:
+                # on a >1-device mesh the vocoder runs the pure-XLA path
+                # (partitioned cleanly); single-chip keeps the fused
+                # VMEM-resident / weight-streaming kernels.
+                multi = self.mesh is not None and self.mesh.devices.size > 1
                 wav = hifigan_apply_fused(
                     voc_params, mel, hifigan.cfg,
+                    mrf_pallas_max_c=0 if multi else None,
+                    stream_stage0=False if multi else None,
                     interpret=interpret).astype(jnp.float32)
             else:
                 wav = None

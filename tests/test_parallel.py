@@ -229,6 +229,53 @@ def test_tp_inference_matches_single_device():
     np.testing.assert_allclose(mel1, mel2, rtol=1e-5, atol=1e-5)
 
 
+def test_sharded_inference_with_vocoder_matches_single_device():
+    """Full text->mel->WAV synthesis on the 8-device mesh == unsharded.
+    On a >1-device mesh the vocoder must take the pure-XLA path (Pallas
+    custom calls have no GSPMD partitioning rule); single-device keeps
+    the fused kernels — outputs must agree either way."""
+    from cmtts_tpu.models.hifigan import HiFiGANConfig, HiFiGANGenerator
+    from cmtts_tpu.pipeline import Synthesizer
+
+    cfg = tiny_config()
+    model = CMTTS(cfg)
+    rng = jax.random.PRNGKey(0)
+    B, T_txt = 8, 8
+    texts = np.tile(np.arange(1, T_txt + 1, dtype=np.int32), (B, 1))
+    variables = model.init(
+        {"params": rng, "dropout": rng},
+        jnp.zeros((B, 32, cfg.stft.n_mel_channels)), jnp.zeros(B),
+        speakers=jnp.zeros(B, jnp.int32), texts=jnp.asarray(texts),
+        src_lens=jnp.full((B,), T_txt, jnp.int32), deterministic=True)
+    tiny_voc = HiFiGANConfig(
+        upsample_rates=(4, 4), upsample_kernel_sizes=(8, 8),
+        upsample_initial_channel=8, resblock_kernel_sizes=(3,),
+        resblock_dilation_sizes=((1, 2),),
+        num_mels=cfg.stft.n_mel_channels)
+    voc = HiFiGANGenerator(tiny_voc)
+    voc_params = voc.init(jax.random.PRNGKey(1),
+                          jnp.zeros((1, 8, cfg.stft.n_mel_channels)))["params"]
+    toks = [texts[i] for i in range(B)]
+
+    plain = Synthesizer(cfg, variables["params"], voc_params, T=1,
+                        text_buckets=(8,), mel_buckets=(32,),
+                        compute_dtype=jnp.float32)
+    plain.hifigan = voc
+    mel1, lens1, wav1 = plain(toks, mel_bucket=32)
+
+    sharded = Synthesizer(cfg, variables["params"], voc_params, T=1,
+                          text_buckets=(8,), mel_buckets=(32,),
+                          compute_dtype=jnp.float32, mesh=make_mesh())
+    sharded.hifigan = voc
+    mel2, lens2, wav2 = sharded(toks, mel_bucket=32)
+    np.testing.assert_array_equal(lens1, lens2)
+    np.testing.assert_allclose(mel1, mel2, rtol=1e-5, atol=1e-6)
+    # wav tolerance is bf16-bound: the single-device vocoder runs the
+    # Pallas kernels (in-kernel bf16 activations), the mesh path pure
+    # f32 XLA
+    np.testing.assert_allclose(wav1, wav2, rtol=2e-2, atol=1e-4)
+
+
 def test_padded_duplicates_contribute_zero_loss():
     """pad_batch_to_multiple adds sample_valid; the train step must be
     EXACTLY invariant to the padded rows' contents (VERDICT r2 weak #5 —
