@@ -156,5 +156,24 @@ def main():
     }))
 
 
+def _arm_watchdog():
+    """Fail loudly instead of hanging forever if the TPU tunnel is dead
+    (device init / first compile never completes).  SIGALRM-based so it
+    fires even while blocked inside the runtime."""
+    import signal
+    import sys
+
+    deadline = int(os.environ.get("BENCH_HARD_TIMEOUT_S", "5400"))
+
+    def boom(signum, frame):
+        print(f"bench.py watchdog: no result within {deadline}s — "
+              "TPU backend unreachable or compile stuck", file=sys.stderr)
+        os._exit(2)
+
+    signal.signal(signal.SIGALRM, boom)
+    signal.alarm(deadline)
+
+
 if __name__ == "__main__":
+    _arm_watchdog()
     main()
