@@ -158,20 +158,24 @@ def main():
 
 def _arm_watchdog():
     """Fail loudly instead of hanging forever if the TPU tunnel is dead
-    (device init / first compile never completes).  SIGALRM-based so it
-    fires even while blocked inside the runtime."""
-    import signal
+    (device init / first compile never completes).  A daemon timer
+    thread calling os._exit — NOT a Python signal handler, which can't
+    run while the main thread is blocked inside a native runtime call
+    (exactly the hang this guards against)."""
     import sys
+    import threading
 
     deadline = int(os.environ.get("BENCH_HARD_TIMEOUT_S", "5400"))
 
-    def boom(signum, frame):
+    def boom():
         print(f"bench.py watchdog: no result within {deadline}s — "
               "TPU backend unreachable or compile stuck", file=sys.stderr)
+        sys.stderr.flush()
         os._exit(2)
 
-    signal.signal(signal.SIGALRM, boom)
-    signal.alarm(deadline)
+    t = threading.Timer(deadline, boom)
+    t.daemon = True
+    t.start()
 
 
 if __name__ == "__main__":

@@ -87,7 +87,10 @@ def main():
 
     cfg = load_configs(args.dataset, args.config_root)
     payload = restore_checkpoint(cfg.train.ckpt_path, args.restore_step or None)
-    role = args.params_role if args.params_role in payload else "model"
+    if args.params_role not in payload:
+        raise SystemExit(f"role {args.params_role!r} not in checkpoint "
+                         f"(roles: {sorted(payload)})")
+    role = args.params_role
     summary = evaluate_cm(cfg, payload[role], args.max_batches,
                           with_mel=not args.no_mel_loss)
     print("validation losses:")

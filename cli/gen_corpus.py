@@ -58,7 +58,11 @@ def write_config_root(root: str, repo_cfg_dir: str, val_size: int,
         model["denoiser"]["residual_channels"] = 32
     with open(os.path.join(repo_cfg_dir, "train.yaml")) as f:
         train = yaml.safe_load(f)
-    train["path"] = {k: os.path.join(root, "output", os.path.basename(v))
+    # keep the ckpt/log/result split (./output/<role>/<dataset>) — a bare
+    # basename would collapse all three roles into one directory
+    train["path"] = {k: os.path.join(root, "output",
+                                     os.path.basename(os.path.dirname(v)),
+                                     os.path.basename(v))
                      for k, v in train["path"].items()}
     train["optimizer"]["batch_size"] = batch_size
     if save_step:

@@ -116,6 +116,16 @@ def main():
     from cmtts_tpu.models.hifigan import load_hifigan_params
 
     cfg = load_configs(args.dataset, args.config_root)
+    if args.vocoder in ("hifigan", "melgan"):
+        # honor the neural-vocoder override too (not just griffinlim/
+        # none): propagate through cfg so the param loader and the
+        # Synthesizer graph agree on the generator
+        import dataclasses
+
+        cfg = dataclasses.replace(cfg, model=dataclasses.replace(
+            cfg.model,
+            vocoder_model={"hifigan": "HiFi-GAN",
+                           "melgan": "MelGAN"}[args.vocoder]))
     payload = restore_checkpoint(cfg.train.ckpt_path, args.restore_step or None)
     if args.params_role not in payload:
         raise SystemExit(f"role {args.params_role!r} not in checkpoint "

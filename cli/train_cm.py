@@ -53,13 +53,15 @@ def main():
                              "(data x model) mesh; device_count/tp becomes "
                              "the data-parallel degree. 1 = pure DP "
                              "(reference is DDP-only, train_util.py:100-117)")
-    parser.add_argument("--scan_unroll", type=int, default=20,
+    parser.add_argument("--scan_unroll", type=int, default=None,
                         help="denoiser residual-stack lax.scan unroll "
-                             "factor (clamped to the layer count). Full "
-                             "unroll lets XLA fuse/pipeline across blocks: "
-                             "v5e batch 32x768 bf16 train step 37.5 -> "
-                             "32.5 ms (tools/bench_train.py --unroll). "
-                             "1 = reference-like sequential scan, fastest "
+                             "factor (clamped to the layer count; default: "
+                             "model.yaml denoiser.scan_unroll, shipped as "
+                             "full unroll). Full unroll lets XLA fuse/"
+                             "pipeline across blocks: v5e batch 32x768 "
+                             "bf16 train step 37.5 -> 32.5 ms "
+                             "(tools/bench_train.py --unroll). 1 = "
+                             "reference-like sequential scan, fastest "
                              "compile")
     args = parser.parse_args()
 
@@ -88,7 +90,8 @@ def main():
         cfg = dataclasses.replace(cfg, train=dataclasses.replace(
             cfg.train, cm=dataclasses.replace(cm, training_mode=args.model)))
         cm = cfg.train.cm
-    if args.scan_unroll != cfg.model.denoiser.scan_unroll:
+    if (args.scan_unroll is not None
+            and args.scan_unroll != cfg.model.denoiser.scan_unroll):
         import dataclasses
         cfg = dataclasses.replace(cfg, model=dataclasses.replace(
             cfg.model, denoiser=dataclasses.replace(
@@ -246,6 +249,14 @@ def main():
     t_last = time.perf_counter()
     steps_since_log = 0
     profiling = False
+    gl_cached = None  # Griffin-Lim built once, reused across audio logs
+
+    def stop_profiler_if_active():
+        # training can end (total_step / DIFFUSION_TRAINING_TEST) before
+        # the steady-state stop threshold — flush the trace either way
+        if profiling and args.profile_dir:
+            jax.profiler.stop_trace()
+            print("==> profiler trace written (early stop)")
     for window in windows():
         last_step = step + K - 1
         target_ema, new_scales = ema_scale_fn(step)
@@ -270,14 +281,18 @@ def main():
                 print("==> profiler trace written")
 
         cleans = []
+        n_data = mesh.shape["data"]
         for b in window:
             clean = {k: v for k, v in b.items()
                      if k not in ("ids", "raw_texts")}
-            if mesh.devices.size > 1:
-                # a sharded batch must divide the device count (pods); pad
-                # by repeating the last sample — loss weighting is
-                # per-sample so duplicates only slightly re-weight the step
-                clean, _orig = pad_batch_to_multiple(clean, mesh.devices.size)
+            if n_data > 1:
+                # batches are sharded over the 'data' axis only, so the
+                # batch must divide the data-parallel degree (NOT the
+                # total device count: under --tp the 'model' axis shards
+                # weights, not samples); pad by repeating the last sample
+                # — sample_valid makes the duplicates' loss contribution
+                # exactly zero
+                clean, _orig = pad_batch_to_multiple(clean, n_data)
             cleans.append(clean)
         rng, sub = jax.random.split(rng)
         probs = jnp.asarray(sampler.probs())
@@ -329,14 +344,16 @@ def main():
                     mel_comparison_figure(gt0, syn0, f"step {last_step}"),
                     last_step)
                 try:
-                    from cmtts_tpu.audio.stft import GriffinLim, MelSpectrogram
+                    if gl_cached is None:
+                        from cmtts_tpu.audio.stft import (GriffinLim,
+                                                          MelSpectrogram)
 
-                    gl = GriffinLim(MelSpectrogram(
-                        cfg.stft.sampling_rate, cfg.stft.filter_length,
-                        cfg.stft.hop_length, cfg.stft.win_length,
-                        cfg.stft.n_mel_channels, cfg.stft.mel_fmin,
-                        cfg.stft.mel_fmax), n_iters=32)
-                    logger.log_audio("synth/onestep_audio", gl(syn0),
+                        gl_cached = GriffinLim(MelSpectrogram(
+                            cfg.stft.sampling_rate, cfg.stft.filter_length,
+                            cfg.stft.hop_length, cfg.stft.win_length,
+                            cfg.stft.n_mel_channels, cfg.stft.mel_fmin,
+                            cfg.stft.mel_fmax), n_iters=32)
+                    logger.log_audio("synth/onestep_audio", gl_cached(syn0),
                                      cfg.stft.sampling_rate, last_step)
                 except Exception as e:  # audio is best-effort
                     print(f"==> TB audio logging skipped: {e}")
@@ -361,11 +378,13 @@ def main():
             print(f"==> saving {path} (async)")
             if os.environ.get("DIFFUSION_TRAINING_TEST", ""):
                 print("==> DIFFUSION_TRAINING_TEST set; stopping after first save")
+                stop_profiler_if_active()
                 wait_for_saves()
                 return
 
         if last_step >= total_step:
             print("==> training complete")
+            stop_profiler_if_active()
             wait_for_saves()
             return
         step = last_step + 1

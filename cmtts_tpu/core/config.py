@@ -100,8 +100,9 @@ class DenoiserConfig:
     # lax.scan unroll factor for the residual-block stack: >1 exposes
     # cross-block fusion/pipelining to XLA at the cost of compile time
     # (v5e, batch 32x768 bf16: full train step 37.5 -> 32.5 ms at full
-    # unroll — tools/bench_train.py --unroll 20)
-    scan_unroll: int = 1
+    # unroll — tools/bench_train.py --unroll 20). Default = full unroll
+    # for the reference's 20-layer denoiser; YAML/--scan_unroll override.
+    scan_unroll: int = 20
 
 
 @dataclass(frozen=True)

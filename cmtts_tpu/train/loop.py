@@ -172,15 +172,10 @@ def make_train_step(model: CMTTS, cfg: Config, tx: optax.GradientTransformation,
                 apply_fn, params, target_params, mb["x_start"], mb["noise"],
                 mb["indices"], num_scales, b, cfg, sched, sil_ids,
                 mb["rng_drop"], teacher_denoise=teacher_denoise)
-        w = mb["weights"]
-        sv = b.get("sample_valid")
-        if sv is not None:
-            # padded duplicate rows (pod batch padding): zero their cm
-            # contribution and renormalize to the real-sample count, so
-            # the gradient equals the unpadded batch's exactly (the
-            # variance losses are masked inside variance_loss)
-            w = w * sv * (sv.shape[0] / jnp.maximum(sv.sum(), 1.0))
-        loss = (total * w).mean()
+        # mb["weights"] already folds in the sample_valid zero/renorm
+        # (done globally in step_fn so microbatch accumulation stays
+        # exactly equal to the unpadded batch's gradient)
+        loss = (total * mb["weights"]).mean()
         return loss, (total, aux)
 
     grad_fn = jax.value_and_grad(micro_loss, has_aux=True)
@@ -195,6 +190,16 @@ def make_train_step(model: CMTTS, cfg: Config, tx: optax.GradientTransformation,
                                          shape=(B,))
         # unbiased importance weights 1/(K p_i) (resample.py:65-81)
         weights = 1.0 / (probs.shape[0] * probs[indices])
+        sv = batch.get("sample_valid")
+        if sv is not None:
+            # padded duplicate rows (pod batch padding): zero their cm
+            # contribution and renormalize to the real-sample count over
+            # the FULL batch — so with or without microbatch accumulation
+            # the gradient equals the unpadded batch's exactly (the
+            # variance losses are masked inside variance_loss; their
+            # masked means renormalize per microbatch, matching the
+            # reference's DDP no_sync semantics)
+            weights = weights * sv * (B / jnp.maximum(sv.sum(), 1.0))
         noise = jax.random.normal(rng_noise, x_start.shape, x_start.dtype)
 
         data = {"x_start": x_start, "noise": noise, "indices": indices,

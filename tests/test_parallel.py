@@ -344,6 +344,112 @@ def test_padded_duplicates_contribute_zero_loss():
                                    rtol=1e-6, atol=1e-8)
 
 
+def test_padded_duplicates_exact_under_microbatch():
+    """The sample_valid renormalization of the cm weights must be
+    GLOBAL, not per-microbatch: with pod padding + gradient accumulation
+    the cm gradient must equal the k=1 step's on the same padded batch
+    even when the padded rows land unevenly across microbatches (B=3
+    padded to 4, k=2: one microbatch gets 2 valid rows, the other 1).
+    Variance lambdas and dropout are zeroed so the loss is the pure cm
+    term — the variance masked means renormalize per microbatch by
+    documented design (see tests/test_train.py::_batch4)."""
+    import dataclasses
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from cmtts_tpu.parallel.sharding import pad_batch_to_multiple
+    from cmtts_tpu.train.loop import make_train_step
+    from cmtts_tpu.train.state import create_train_state, make_optimizer
+    from cmtts_tpu.train.resample import create_schedule_sampler
+    from tests.helpers import tiny_config
+    from cmtts_tpu.models.cmtts import CMTTS
+
+    cfg = tiny_config()
+    mc = cfg.model
+    cfg = dataclasses.replace(
+        cfg,
+        model=dataclasses.replace(
+            mc,
+            transformer=dataclasses.replace(
+                mc.transformer, encoder_dropout=0.0, decoder_dropout=0.0),
+            denoiser=dataclasses.replace(mc.denoiser, denoiser_dropout=0.0),
+            variance_predictor=dataclasses.replace(
+                mc.variance_predictor, dropout=0.0),
+            variance_embedding=dataclasses.replace(
+                mc.variance_embedding, use_energy_embed=False)),
+        train=dataclasses.replace(
+            cfg.train,
+            loss=dataclasses.replace(
+                cfg.train.loss, lambda_f0=0.0, lambda_uv=0.0,
+                lambda_ph_dur=0.0, lambda_word_dur=0.0,
+                lambda_sent_dur=0.0)))
+    model = CMTTS(cfg)
+
+    # uniform-length B=3 batch (numpy, for pad_batch_to_multiple)
+    B, T_txt, T_mel, n_mels = 3, 8, 24, 16
+    rs = np.random.RandomState(7)
+    texts = rs.randint(1, 300, (B, T_txt)).astype(np.int32)
+    d = np.full((B, T_txt), T_mel // T_txt, np.int32)
+    d[:, -1] += T_mel - d.sum(1)[0]
+    mel2ph = np.zeros((B, T_mel), np.int32)
+    for b in range(B):
+        pos = 0
+        for i in range(T_txt):
+            mel2ph[b, pos:pos + d[b, i]] = i + 1
+            pos += d[b, i]
+    b3 = {
+        "speakers": np.zeros(B, np.int32),
+        "texts": texts,
+        "src_lens": np.full(B, T_txt, np.int32),
+        "mels": rs.randn(B, T_mel, n_mels).astype(np.float32),
+        "mel_lens": np.full(B, T_mel, np.int32),
+        "mel2ph": mel2ph,
+        "d_targets": d,
+        "e_targets": rs.rand(B, T_txt).astype(np.float32),
+        "p_targets": {
+            "pitch": rs.randint(1, 255, (B, T_mel)).astype(np.int32),
+            "f0": rs.rand(B, T_mel).astype(np.float32) * 2,
+            "uv": (rs.rand(B, T_mel) > 0.7).astype(np.float32),
+            "cwt_spec": rs.randn(B, T_mel, 10).astype(np.float32),
+            "f0_mean": (5 + rs.rand(B)).astype(np.float32),
+            "f0_std": (0.5 + rs.rand(B)).astype(np.float32),
+        },
+    }
+    padded, orig = pad_batch_to_multiple(dict(b3), 4)
+    assert orig == 3 and padded["sample_valid"].tolist() == [1, 1, 1, 0]
+
+    jb = {k: (jnp.asarray(v) if isinstance(v, np.ndarray) else
+              {kk: jnp.asarray(vv) for kk, vv in v.items()})
+          for k, v in padded.items()}
+    rng = jax.random.PRNGKey(0)
+    variables = model.init(
+        {"params": rng, "dropout": rng}, jb["mels"], jnp.zeros(4),
+        speakers=jb["speakers"], texts=jb["texts"], src_lens=jb["src_lens"],
+        mel2ph=jb["mel2ph"], d_targets=jb["d_targets"],
+        p_targets=jb["p_targets"], e_targets=jb["e_targets"],
+        deterministic=True)
+    tx = make_optimizer(1e-4)
+    probs = jnp.asarray(create_schedule_sampler("uniform", 3).probs())
+    key = jax.random.PRNGKey(5)
+
+    step1 = make_train_step(model, cfg, tx, num_scales=3, donate=False,
+                            microbatch=0)
+    step2 = make_train_step(model, cfg, tx, num_scales=3, donate=False,
+                            microbatch=2)
+    s0 = create_train_state(variables["params"], tx, n_ema=1)
+    sA, mA = step1(s0, jb, probs, key, jnp.asarray(0.95))
+    sB, mB = step2(s0, jb, probs, key, jnp.asarray(0.95))
+
+    np.testing.assert_allclose(float(mA["loss"]), float(mB["loss"]),
+                               rtol=1e-6)
+    for a, b in zip(jax.tree_util.tree_leaves(sA.params),
+                    jax.tree_util.tree_leaves(sB.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-5, atol=1e-7)
+
+
 # -- tensor parallelism (Megatron split of the denoiser blocks) ---------------
 def test_denoiser_tp_forward_matches_replicated():
     """Column/row-sharding the WaveNet block weights over the 'model'

@@ -35,7 +35,7 @@ for SPK in v10 v11; do
       --config_root "$CORPUS/config" --restore_step "$STEPS" --T 1 \
       --ref_wav "$CORPUS/raw_holdout/$SPK/${SPK}_000.wav" \
       --embedder_ckpt "$EMB" --tag "zs_$SPK" 2>&1 | tail -3
-  SYN="$CORPUS/output/VCTK_cm/step_${STEPS}_T1_zs_${SPK}"
+  SYN="$CORPUS/output/result/VCTK_cm/step_${STEPS}_T1_zs_${SPK}"
   echo "== identity-transfer eval: $SPK (syn dir: $SYN) =="
   JAX_PLATFORMS=cpu python tools/zeroshot_eval.py \
       --syn_dir "$SYN" --target_raw "$CORPUS/raw_holdout/$SPK" \

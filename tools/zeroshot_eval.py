@@ -84,7 +84,8 @@ def main():
         if os.path.exists(raw_path):
             raw, _ = read_wav(raw_path)
             mcds.append(core.mcd_dtw(syn, raw))
-            ffes.append(core.ffe(syn, raw))
+            # ffe counts errors over REFERENCE-voiced frames: (ref, syn)
+            ffes.append(core.ffe(raw, syn))
     if not syn_embs:
         raise SystemExit(f"no usable synthesized wavs in {args.syn_dir}")
     syn_embs = np.stack(syn_embs)
