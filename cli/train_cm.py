@@ -206,7 +206,7 @@ def main():
                                  teacher_params=teacher_params,
                                  compute_dtype=compute_dtype,
                                  scan_steps=K if K > 1 else None)
-    synth_step = make_synthesize_step(model, cfg)
+    synth_step = make_synthesize_step(model, cfg, with_viz=True)
 
     def shape_key(b):
         parts = []
@@ -327,14 +327,16 @@ def main():
             rng, sub = jax.random.split(rng)
             last_batch = (jax.tree_util.tree_map(lambda x: x[-1], sharded)
                           if K > 1 else sharded)
-            mel_synth, mel_loss = synth_step(state.target_params, last_batch,
-                                             sub)
+            mel_synth, mel_loss, viz = synth_step(state.target_params,
+                                                  last_batch, sub)
             if logger.has_tb and \
                     last_step // cfg.train.synth_step > \
                     (step - 1) // cfg.train.synth_step:
-                # mel comparison figure + a vocoded sample (reference
-                # synth_samples, utils/tools.py:610-687 + train_cm.py:98-118)
-                from cmtts_tpu.utils_plot import mel_comparison_figure
+                # mel/f0/energy/cwt comparison figures + a vocoded sample
+                # (reference synth_one_sample_diff, utils/tools.py:294-345
+                # + train_cm.py:98-118)
+                from cmtts_tpu.utils_plot import (contour_comparison_figure,
+                                                  mel_comparison_figure)
 
                 L = int(np.asarray(last_batch["mel_lens"][0]))
                 gt0 = np.asarray(last_batch["mels"][0])[:L]
@@ -343,6 +345,30 @@ def main():
                     "synth/mel_comparison",
                     mel_comparison_figure(gt0, syn0, f"step {last_step}"),
                     last_step)
+                if "f0_target" in viz:
+                    logger.log_figure(
+                        "synth/f0_comparison",
+                        contour_comparison_figure(
+                            np.asarray(viz["f0_target"][0])[:L],
+                            np.asarray(viz["f0_pred"][0])[:L],
+                            f"f0 — step {last_step}", "f0 (Hz)"),
+                        last_step)
+                if "cwt_target" in viz:
+                    logger.log_figure(
+                        "synth/cwt_comparison",
+                        mel_comparison_figure(
+                            np.asarray(viz["cwt_target"][0])[:L],
+                            np.asarray(viz["cwt_pred"][0])[:L],
+                            f"pitch cwt — step {last_step}"),
+                        last_step)
+                if "e_target" in viz:
+                    logger.log_figure(
+                        "synth/energy_comparison",
+                        contour_comparison_figure(
+                            np.asarray(viz["e_target"][0])[:L],
+                            np.asarray(viz["e_pred"][0])[:L],
+                            f"energy — step {last_step}", "energy"),
+                        last_step)
                 try:
                     if gl_cached is None:
                         from cmtts_tpu.audio.stft import (GriffinLim,

@@ -302,11 +302,69 @@ def make_train_step(model: CMTTS, cfg: Config, tx: optax.GradientTransformation,
     return jax.jit(step_fn, donate_argnums=(0,) if donate else ())
 
 
-def make_synthesize_step(model: CMTTS, cfg: Config):
+def make_synthesize_step(model: CMTTS, cfg: Config, with_viz: bool = False):
     """Eval-time one-step synthesis from the *target* network with
     teacher-forced conditioning + masked mel L1 (reference
-    ``train_util.py:718-727`` + ``train_cm.py:98-108``)."""
+    ``train_util.py:718-727`` + ``train_cm.py:98-108``).
+
+    ``with_viz`` additionally returns the variance-track comparison
+    payload for training-time TB figures (reference
+    ``synth_one_sample_diff``, utils/tools.py:294-345): denormed
+    target/predicted f0 contours (cwt/frame/ph, expanded to mel frames),
+    target/predicted cwt spectrograms, and mel-frame energy tracks."""
     sched = schedule_from_config(cfg)
+
+    def _expand_ph(x_ph, mel2ph):
+        # phoneme-level track -> mel frames via mel2ph gather (reference
+        # expand_f0_ph / expand, utils/pitch_tools.py + tools.py:336-341)
+        padded = jnp.concatenate([jnp.zeros_like(x_ph[:, :1]), x_ph], axis=1)
+        return jnp.take_along_axis(padded, mel2ph, axis=1)
+
+    def _viz(cond_out, batch):
+        from cmtts_tpu.audio.pitch import cwt2f0_norm_jnp, denorm_f0_jnp
+
+        pc = cfg.pitch
+        viz = {}
+        p_pred = cond_out["p_pred"]
+        mel2ph = cond_out["mel2ph"]
+        if p_pred is not None:
+            # teacher-forced condition => f0_denorm is the TARGET track
+            if pc.pitch_type == "cwt":
+                cwt_out = p_pred["cwt"]
+                f0n = cwt2f0_norm_jnp(
+                    cwt_out[..., :10], p_pred["f0_mean"],
+                    p_pred["f0_std"] * cfg.model.variance_predictor.cwt_std_scale,
+                    mel2ph.shape[1], pc.pitch_norm, pc.f0_mean, pc.f0_std,
+                    pc.pitch_norm_eps)
+                uv_pred = (cwt_out[..., -1] > 0) if pc.use_uv else None
+                viz["f0_pred"] = denorm_f0_jnp(
+                    f0n, uv_pred, pc.pitch_norm, pc.f0_mean, pc.f0_std,
+                    pc.use_uv)
+                viz["f0_target"] = p_pred["f0_denorm"]
+                viz["cwt_pred"] = cwt_out[..., :10]
+                viz["cwt_target"] = batch["p_targets"]["cwt_spec"]
+            elif pc.pitch_type == "frame":
+                pp = p_pred["pitch_pred"]
+                uv_pred = (pp[..., 1] > 0) if pc.use_uv else None
+                viz["f0_pred"] = denorm_f0_jnp(
+                    pp[..., 0], uv_pred, pc.pitch_norm, pc.f0_mean,
+                    pc.f0_std, pc.use_uv, pitch_padding=mel2ph == 0)
+                viz["f0_target"] = p_pred["f0_denorm"]
+            else:  # 'ph': predictions/targets live at phoneme rate
+                f0p = denorm_f0_jnp(
+                    p_pred["pitch_pred"][..., 0], None, pc.pitch_norm,
+                    pc.f0_mean, pc.f0_std, use_uv=False)
+                viz["f0_pred"] = _expand_ph(f0p, mel2ph)
+                viz["f0_target"] = _expand_ph(p_pred["f0_denorm"], mel2ph)
+        e_pred = cond_out["e_pred"]
+        if e_pred is not None:
+            e_tgt = batch["e_targets"]
+            if cfg.energy.feature == "phoneme_level":
+                e_pred = _expand_ph(e_pred, mel2ph)
+                e_tgt = _expand_ph(e_tgt, mel2ph)
+            viz["e_pred"] = e_pred
+            viz["e_target"] = e_tgt
+        return viz
 
     def synth_fn(target_params, batch, rng):
         cond_out = model.apply(
@@ -339,6 +397,8 @@ def make_synthesize_step(model: CMTTS, cfg: Config):
         mel = sample_mel(denoise, batch["mels"].shape, rng, sched, "onestep")
         mel_loss = masked_mel_l1(mel, batch["mels"], batch["mel_lens"],
                                  batch["mels"].shape[1])
+        if with_viz:
+            return mel, mel_loss, _viz(cond_out, batch)
         return mel, mel_loss
 
     return jax.jit(synth_fn)

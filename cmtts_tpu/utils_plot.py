@@ -49,6 +49,28 @@ def mel_comparison_figure(gt_mel: np.ndarray, syn_mel: np.ndarray,
     return fig
 
 
+def contour_comparison_figure(target: np.ndarray, pred: np.ndarray,
+                              title: str, ylabel: str):
+    """Target-vs-predicted 1-D track (f0 / energy) for TB logging
+    (reference ``f0_to_figure`` / ``energy_to_figure``,
+    utils/tools.py:650-687).  Returns the matplotlib figure."""
+    import matplotlib
+
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    fig, ax = plt.subplots(figsize=(10, 3))
+    ax.plot(np.asarray(target), color="tab:blue", lw=1.0, label="target")
+    ax.plot(np.asarray(pred), color="tab:red", lw=1.0, alpha=0.8,
+            label="predicted")
+    ax.set_title(title, fontsize=9)
+    ax.set_xlabel("frames")
+    ax.set_ylabel(ylabel)
+    ax.legend(fontsize=8)
+    fig.tight_layout()
+    return fig
+
+
 def load_speaker_embeddings(embedding_dir: str):
     """Gather per-speaker embedding npy files written by the preprocessor
     (``{speaker}-spker_embed.npy``) -> (embeddings (N, D), speaker ids)

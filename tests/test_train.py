@@ -446,3 +446,56 @@ def test_kvlogger_figure_and_audio_tb(tmp_path):
     assert "synth/mel_comparison" in tags.get("images", []), tags
     assert "synth/onestep_audio" in tags.get("audio", []), tags
     assert "loss" in tags.get("scalars", []), tags
+
+
+def test_synthesize_step_viz_payload():
+    """with_viz=True returns mel-frame f0/energy target+prediction tracks
+    and (cwt mode) the cwt spectrogram pair for the reference-parity TB
+    figures (synth_one_sample_diff, utils/tools.py:294-345)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from cmtts_tpu.models.cmtts import CMTTS
+    from cmtts_tpu.train.loop import make_synthesize_step
+    from tests.helpers import tiny_batch, tiny_config
+
+    cfg = tiny_config(pitch_type="cwt")
+    model = CMTTS(cfg)
+    b = tiny_batch(B=2)
+    jb = {k: (jnp.asarray(v) if isinstance(v, np.ndarray) else
+              {kk: jnp.asarray(vv) for kk, vv in v.items()})
+          for k, v in b.items() if v is not None}
+    rng = jax.random.PRNGKey(0)
+    variables = model.init(
+        {"params": rng, "dropout": rng}, jb["mels"], jnp.zeros(2),
+        speakers=jb["speakers"], texts=jb["texts"], src_lens=jb["src_lens"],
+        mel2ph=jb["mel2ph"], d_targets=jb["d_targets"],
+        p_targets=jb["p_targets"], e_targets=jb["e_targets"],
+        deterministic=True)
+
+    synth = make_synthesize_step(model, cfg, with_viz=True)
+    mel, mel_loss, viz = synth(variables["params"], jb, jax.random.PRNGKey(1))
+
+    B, T_mel = jb["mels"].shape[:2]
+    for key in ("f0_target", "f0_pred", "e_target", "e_pred"):
+        assert key in viz, sorted(viz)
+        assert viz[key].shape == (B, T_mel), (key, viz[key].shape)
+        assert np.isfinite(np.asarray(viz[key])).all(), key
+    assert viz["cwt_pred"].shape == (B, T_mel, 10)
+    assert viz["cwt_target"].shape == (B, T_mel, 10)
+    # teacher-forced f0 target track: voiced somewhere, zero where uv=1
+    f0t = np.asarray(viz["f0_target"])
+    uv = np.asarray(jb["p_targets"]["uv"])
+    assert (f0t[uv > 0.5] == 0).all()
+    assert (f0t[uv < 0.5] > 0).any()
+
+    # the figure helpers accept the tracks
+    from cmtts_tpu.utils_plot import contour_comparison_figure
+
+    fig = contour_comparison_figure(f0t[0], np.asarray(viz["f0_pred"][0]),
+                                    "f0", "Hz")
+    assert fig is not None
+    import matplotlib.pyplot as plt
+
+    plt.close(fig)

@@ -27,19 +27,26 @@ python cli/train_cm.py --model consistency_training --dataset VCTK \
     --config_root "$CORPUS/config" --bf16 --steps_per_call 8 \
     --total_step "$STEPS" 2>&1 | tee "$OUT/train.log" | grep -E "==>|loss" | tail -40
 
-for SPK in v10 v11; do
+# the K-step driver finishes at the end of the window containing
+# total_step — restore whatever step was actually saved
+CKPT_DIR=$(ls -d "$CORPUS"/output/ckpt/VCTK/* | head -1)
+STEP=$(ls "$CKPT_DIR" | grep -o 'step_[0-9]*' | sort -t_ -k2 -n | tail -1 | cut -d_ -f2 | sed 's/^0*//')
+echo "== restoring step $STEP from $CKPT_DIR =="
+
+# holdout speakers = whatever gen_corpus held out, not a hardcoded pair
+for SPK in $(ls "$CORPUS/raw_holdout"); do
   grep "^${SPK}_" "$CORPUS/zeroshot_source.txt" > "$OUT/source_$SPK.txt"
   echo "== zero-shot synthesis: $SPK (T=1) =="
   python cli/synthesize_zeroshot.py --mode batch \
       --source "$OUT/source_$SPK.txt" --dataset VCTK \
-      --config_root "$CORPUS/config" --restore_step "$STEPS" --T 1 \
+      --config_root "$CORPUS/config" --restore_step "$STEP" --T 1 \
       --ref_wav "$CORPUS/raw_holdout/$SPK/${SPK}_000.wav" \
       --embedder_ckpt "$EMB" --tag "zs_$SPK" 2>&1 | tail -3
-  SYN="$CORPUS/output/result/VCTK_cm/step_${STEPS}_T1_zs_${SPK}"
+  SYN="$CORPUS/output/result/VCTK_cm/step_${STEP}_T1_zs_${SPK}"
   echo "== identity-transfer eval: $SPK (syn dir: $SYN) =="
   JAX_PLATFORMS=cpu python tools/zeroshot_eval.py \
       --syn_dir "$SYN" --target_raw "$CORPUS/raw_holdout/$SPK" \
       --others_root "$CORPUS/raw" --embedder_ckpt "$EMB" \
       --out "$OUT/zs_eval_$SPK.json"
 done
-echo "== done: $OUT/zs_eval_v10.json $OUT/zs_eval_v11.json =="
+echo "== done: $(ls "$OUT"/zs_eval_*.json 2>/dev/null | tr '\n' ' ')=="
