@@ -46,6 +46,14 @@ def main():
     parser.add_argument("--save_every", type=int, default=2000)
     parser.add_argument("--max_files", type=int, default=None,
                         help="cap the number of wavs loaded (smoke runs)")
+    parser.add_argument("--finetune_mel_dir", type=str, default=None,
+                        help="paired fine-tuning: directory of external "
+                             "(e.g. teacher-forced TTS-predicted) mel npys "
+                             "aligned to --wav_root ground-truth wavs "
+                             "(HiFi-GAN paper sec. 4.2)")
+    parser.add_argument("--init_gen_npz", type=str, default=None,
+                        help="warm-start the generator from an exported "
+                             "hifigan_gen_*.npz")
     parser.add_argument("--resume", action="store_true")
     parser.add_argument("--seed", type=int, default=0)
     args = parser.parse_args()
@@ -72,7 +80,9 @@ def main():
     train_hifigan(args.wav_root, args.work_dir, args.total_steps, cfg,
                   gen_cfg, disc_cfg, log_every=args.log_every,
                   save_every=args.save_every, resume=args.resume,
-                  max_files=args.max_files)
+                  max_files=args.max_files,
+                  finetune_mel_dir=args.finetune_mel_dir,
+                  init_gen_npz=args.init_gen_npz)
 
 
 if __name__ == "__main__":

@@ -84,9 +84,18 @@ class Synthesizer:
                                                 replicated(mesh))
         self.model = CMTTS(cfg)
         self.vocoder_name = vocoder_name
+        # infer the generator width from the params so in-repo-trained
+        # non-default-width generators (cli/train_hifigan.py
+        # --upsample_initial_channel) load without a config override
+        width = 512
+        if (vocoder_params is not None
+                and isinstance(vocoder_params, dict)
+                and "conv_pre" in vocoder_params):
+            width = int(vocoder_params["conv_pre"]["kernel"].shape[-1])
         self.hifigan = HiFiGANGenerator(HiFiGANConfig(
             num_mels=cfg.stft.n_mel_channels,
-            sampling_rate=cfg.stft.sampling_rate))
+            sampling_rate=cfg.stft.sampling_rate,
+            upsample_initial_channel=width))
         self.cm_params = cm_params
         self.vocoder_params = vocoder_params
         self.T = T
@@ -163,10 +172,15 @@ class Synthesizer:
                 # (partitioned cleanly); single-chip keeps the fused
                 # VMEM-resident / weight-streaming kernels.
                 multi = self.mesh is not None and self.mesh.devices.size > 1
+                # the fused Pallas stages are tiled for the standard
+                # 512-width generator; non-default widths (v2-style
+                # small generators) run the pure-XLA path
+                nonstd = hifigan.cfg.upsample_initial_channel != 512
+                xla_only = multi or nonstd
                 wav = hifigan_apply_fused(
                     voc_params, mel, hifigan.cfg,
-                    mrf_pallas_max_c=0 if multi else None,
-                    stream_stage0=False if multi else None,
+                    mrf_pallas_max_c=0 if xla_only else None,
+                    stream_stage0=False if xla_only else None,
                     interpret=interpret).astype(jnp.float32)
             else:
                 wav = None

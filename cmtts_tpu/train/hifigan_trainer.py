@@ -115,13 +115,24 @@ def init_hifigan_train(cfg: HiFiGANTrainConfig,
 def make_hifigan_train_step(gen: HiFiGANGenerator,
                             disc: HiFiGANDiscriminators,
                             stft: MelSpectrogram,
-                            cfg: HiFiGANTrainConfig):
-    """Fused D-then-G update; returns (state, metrics dict)."""
+                            cfg: HiFiGANTrainConfig,
+                            paired: bool = False):
+    """Fused D-then-G update; returns (state, metrics dict).
+
+    ``paired=False`` (from-scratch): the step takes (state, wavs) and
+    computes G's input mel from the waveform crop itself.
+    ``paired=True`` (fine-tuning, HiFi-GAN paper sec. 4.2): the step
+    takes (state, wavs, in_mels) where ``in_mels`` are externally
+    produced (e.g. teacher-forced TTS-predicted) mels aligned to the
+    ground-truth waveform crop; the mel reconstruction loss always
+    targets the *ground-truth* waveform's mel.
+    """
     tx_g, tx_d = _make_optims(cfg)
     mel_fn = make_mel_fn(stft, gen.cfg.hop_length)
 
-    def step(state, wavs):
-        mels = mel_fn(wavs)
+    def step(state, wavs, in_mels=None):
+        mels = in_mels if paired else mel_fn(wavs)
+        target_mels = mel_fn(wavs) if paired else mels
         y_hat = gen.apply({"params": state["gen"]}, mels)
         y_hat_sg = jax.lax.stop_gradient(y_hat)
 
@@ -141,7 +152,7 @@ def make_hifigan_train_step(gen: HiFiGANGenerator,
             fake = disc.apply({"params": disc_params}, yh)
             adv = generator_adv_loss(fake)
             fm = feature_matching_loss(real, fake)
-            mel_l1 = jnp.abs(mel_hat - mels).mean()
+            mel_l1 = jnp.abs(mel_hat - target_mels).mean()
             total = adv + cfg.lambda_fm * fm + cfg.lambda_mel * mel_l1
             return total, {"g_adv": adv, "g_fm": fm, "mel_l1": mel_l1}
 
@@ -199,6 +210,90 @@ class WaveSegmentSampler:
         return out
 
 
+class MelWavPairSampler:
+    """Aligned (mel, waveform) segment pairs for vocoder *fine-tuning*
+    on externally produced mels (e.g. teacher-forced TTS-predicted
+    mels, HiFi-GAN paper sec. 4.2).
+
+    ``mel_dir`` holds ``<spk>-mel-<base>.npy`` (preprocessor layout) or
+    ``<base>-mel.npy`` (synthesize-CLI layout) files with shape
+    (frames, n_mels) or (n_mels, frames); ``wav_root`` is searched
+    recursively for ``<base>.wav``.  Pairs whose lengths disagree by
+    more than ``tolerance_frames`` are skipped with a warning (the mel
+    must describe the same trimmed waveform)."""
+
+    def __init__(self, mel_dir: str, wav_root: str, segment_frames: int,
+                 hop: int = 256, sampling_rate: int = 22050,
+                 n_mels: int = 80, tolerance_frames: int = 20):
+        from cmtts_tpu.audio.wavio import read_wav, resample_linear
+
+        self.hop, self.F = hop, segment_frames
+        wav_by_base = {}
+        for dirpath, _, names in sorted(os.walk(wav_root)):
+            for n in sorted(names):
+                if n.endswith(".wav"):
+                    wav_by_base[n[:-4]] = os.path.join(dirpath, n)
+        self.pairs: list[tuple[np.ndarray, np.ndarray]] = []
+        skipped = 0
+        for n in sorted(os.listdir(mel_dir)):
+            if not n.endswith(".npy"):
+                continue
+            stem = n[:-4]
+            if "-mel-" in stem:                      # <spk>-mel-<base>
+                base = stem.split("-mel-", 1)[1]
+            elif stem.endswith("-mel"):              # <base>-mel
+                base = stem[:-4]
+            else:
+                base = stem
+            path = wav_by_base.get(base)
+            if path is None:
+                skipped += 1
+                continue
+            mel = np.load(os.path.join(mel_dir, n)).astype(np.float32)
+            if mel.ndim != 2:
+                skipped += 1
+                continue
+            if mel.shape[0] == n_mels and mel.shape[1] != n_mels:
+                mel = mel.T                          # (frames, n_mels)
+            wav, sr = read_wav(path)
+            if sr != sampling_rate:
+                wav = resample_linear(wav, sr, sampling_rate)
+            wav = np.asarray(wav, np.float32)
+            frames = min(mel.shape[0], len(wav) // hop)
+            if abs(mel.shape[0] - len(wav) / hop) > tolerance_frames \
+                    or frames < 1:
+                skipped += 1
+                continue
+            mel, wav = mel[:frames], wav[: frames * hop]
+            if frames < segment_frames:
+                reps = int(np.ceil(segment_frames / frames))
+                mel = np.tile(mel, (reps, 1))
+                wav = np.tile(wav, reps)
+            self.pairs.append((mel, wav))
+        if skipped:
+            import warnings
+
+            warnings.warn(f"MelWavPairSampler: skipped {skipped} "
+                          f"unmatched/misaligned mel files")
+        if not self.pairs:
+            raise ValueError(
+                f"no aligned (mel, wav) pairs between {mel_dir} and "
+                f"{wav_root}")
+
+    def sample(self, rng: np.random.RandomState, batch: int):
+        """-> (wavs (B, F*hop), mels (B, F, n_mels))."""
+        n_mels = self.pairs[0][0].shape[1]
+        wavs = np.empty((batch, self.F * self.hop), np.float32)
+        mels = np.empty((batch, self.F, n_mels), np.float32)
+        idx = rng.randint(0, len(self.pairs), batch)
+        for i, j in enumerate(idx):
+            mel, wav = self.pairs[j]
+            f0 = rng.randint(0, mel.shape[0] - self.F + 1)
+            mels[i] = mel[f0: f0 + self.F]
+            wavs[i] = wav[f0 * self.hop: (f0 + self.F) * self.hop]
+        return wavs, mels
+
+
 def flatten_params(tree, prefix="") -> dict:
     """Nested params -> flat ``a/b/c`` keys (inverse of
     ``hifigan.unflatten_npz``)."""
@@ -237,11 +332,23 @@ def train_hifigan(wav_root: str, out_dir: str, total_steps: int,
                   disc_cfg: HiFiGANDiscConfig | None = None,
                   log_every: int = 50, save_every: int = 2000,
                   resume: bool = False, max_files: int | None = None,
+                  finetune_mel_dir: str | None = None,
+                  init_gen_npz: str | None = None,
                   log_fn=print):
-    """Compact driver; returns the final state."""
+    """Compact driver; returns the final state.  ``finetune_mel_dir``
+    switches to paired fine-tuning on external mels;
+    ``init_gen_npz`` warm-starts the generator from an exported npz
+    (typical fine-tune flow: from-scratch run -> export -> fine-tune on
+    TTS-predicted mels)."""
     cfg = cfg or HiFiGANTrainConfig()
     gen_cfg = gen_cfg or HiFiGANConfig()
     state, gen, disc = init_hifigan_train(cfg, gen_cfg, disc_cfg)
+    if init_gen_npz:
+        from cmtts_tpu.models.hifigan import unflatten_npz
+
+        state["gen"] = jax.tree_util.tree_map(
+            jnp.asarray, unflatten_npz(init_gen_npz))
+        log_fn(f"generator warm-started from {init_gen_npz}")
     if resume and os.path.exists(
             os.path.join(out_dir, "hifigan_train_state.npy")):
         state = load_hifigan_train_state(out_dir)
@@ -249,14 +356,26 @@ def train_hifigan(wav_root: str, out_dir: str, total_steps: int,
     stft = MelSpectrogram(
         sampling_rate=gen_cfg.sampling_rate,
         n_mel_channels=gen_cfg.num_mels)
-    step_fn = make_hifigan_train_step(gen, disc, stft, cfg)
-    sampler = WaveSegmentSampler(wav_root, cfg.segment_size,
-                                 gen_cfg.sampling_rate, max_files)
+    paired = finetune_mel_dir is not None
+    step_fn = make_hifigan_train_step(gen, disc, stft, cfg, paired=paired)
+    if paired:
+        sampler = MelWavPairSampler(
+            finetune_mel_dir, wav_root,
+            cfg.segment_size // gen_cfg.hop_length, gen_cfg.hop_length,
+            gen_cfg.sampling_rate, gen_cfg.num_mels)
+    else:
+        sampler = WaveSegmentSampler(wav_root, cfg.segment_size,
+                                     gen_cfg.sampling_rate, max_files)
     rng = np.random.RandomState(cfg.seed)
     start = int(state["step"])
     for step in range(start + 1, total_steps + 1):
-        wavs = sampler.sample(rng, cfg.batch_size)
-        state, metrics = step_fn(state, jnp.asarray(wavs))
+        if paired:
+            wavs, in_mels = sampler.sample(rng, cfg.batch_size)
+            state, metrics = step_fn(state, jnp.asarray(wavs),
+                                     jnp.asarray(in_mels))
+        else:
+            wavs = sampler.sample(rng, cfg.batch_size)
+            state, metrics = step_fn(state, jnp.asarray(wavs))
         if step % log_every == 0 or step == total_steps:
             m = {k: float(v) for k, v in metrics.items()}
             log_fn(f"hifigan step {step}: " +

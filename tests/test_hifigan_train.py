@@ -205,3 +205,77 @@ def test_jax_platforms_env_contract():
         capture_output=True, text=True, timeout=120, env=env)
     assert out.returncode == 0, out.stderr[-2000:]
     assert out.stdout.strip().endswith("cpu"), out.stdout
+
+
+def test_paired_finetune_sampler_and_step(tmp_path):
+    """Fine-tune mode: externally supplied mels drive G's input, the mel
+    loss targets the ground-truth waveform's mel."""
+    from cmtts_tpu.audio.stft import MelSpectrogram
+    from cmtts_tpu.audio.wavio import write_wav
+    from cmtts_tpu.train.hifigan_trainer import MelWavPairSampler
+
+    sr, hop = 22050, 256
+    stft = MelSpectrogram()
+    wav_root = os.path.join(str(tmp_path), "wavs")
+    mel_dir = os.path.join(str(tmp_path), "mels")
+    os.makedirs(wav_root), os.makedirs(mel_dir)
+    rng = np.random.RandomState(0)
+    for i in range(3):
+        frames = 24 + i
+        wav = 0.3 * np.sin(2 * np.pi * 150 * np.arange(frames * hop) / sr)
+        write_wav(os.path.join(wav_root, f"u{i}.wav"),
+                  wav.astype(np.float32), sr)
+        # "predicted" mel = GT mel + noise, preprocessor naming
+        mel, _ = stft(wav.astype(np.float32))
+        np.save(os.path.join(mel_dir, f"SPK-mel-u{i}.npy"),
+                mel[:, :frames].T + 0.1 * rng.randn(frames, 80))
+    # a misaligned decoy must be skipped, not crash
+    np.save(os.path.join(mel_dir, "SPK-mel-u0_bad.npy"),
+            np.zeros((500, 80), np.float32))
+
+    F = 8
+    with pytest.warns(UserWarning, match="unmatched"):
+        sampler = MelWavPairSampler(mel_dir, wav_root, F, hop, sr)
+    assert len(sampler.pairs) == 3
+    wavs, mels = sampler.sample(np.random.RandomState(1), 2)
+    assert wavs.shape == (2, F * hop) and mels.shape == (2, F, 80)
+
+    cfg = HiFiGANTrainConfig(segment_size=F * hop, batch_size=2)
+    state, gen, disc = init_hifigan_train(cfg, TINY_GEN, TINY_DISC)
+    step_fn = make_hifigan_train_step(gen, disc, stft, cfg, paired=True)
+    state, metrics = step_fn(state, jnp.asarray(wavs), jnp.asarray(mels))
+    assert all(np.isfinite(float(v)) for v in metrics.values())
+
+
+def test_synthesizer_infers_generator_width():
+    """A non-512-width trained generator must synthesize without a
+    config override (width read from conv_pre) and route to the
+    pure-XLA vocoder path."""
+    from cmtts_tpu.models.cmtts import CMTTS
+    from cmtts_tpu.pipeline import Synthesizer
+    from tests.helpers import tiny_config
+
+    tts_cfg = tiny_config()
+    model = CMTTS(tts_cfg)
+    rng = jax.random.PRNGKey(0)
+    texts = jnp.ones((1, 8), jnp.int32)
+    variables = model.init(
+        {"params": rng, "dropout": rng},
+        jnp.zeros((1, 16, 16)), jnp.zeros(1),
+        speakers=jnp.zeros(1, jnp.int32), texts=texts,
+        src_lens=jnp.asarray([8]), deterministic=True)
+
+    n_mels = tts_cfg.stft.n_mel_channels
+    voc_cfg = HiFiGANConfig(upsample_initial_channel=64, num_mels=n_mels)
+    from cmtts_tpu.models.hifigan import HiFiGANGenerator
+
+    voc = HiFiGANGenerator(voc_cfg)
+    voc_params = voc.init(jax.random.PRNGKey(1),
+                          jnp.zeros((1, 8, n_mels)))["params"]
+    synth = Synthesizer(tts_cfg, variables["params"], voc_params, T=1,
+                        text_buckets=(8,), mel_buckets=(32,))
+    assert synth.hifigan.cfg.upsample_initial_channel == 64
+    tokens = [np.arange(1, 9, dtype=np.int32)]
+    mel, mel_lens, wav = synth(tokens)
+    assert wav is not None and wav.shape == (1, 32 * 256)
+    assert np.isfinite(np.asarray(wav)).all()
