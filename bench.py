@@ -147,6 +147,33 @@ def main():
             extra["rtf_T4"] = rtf4
             extra["mel_frames_per_sec_per_chip_T4"] = fps4
 
+    # training-throughput extra (K-step scan driver, batch 32x768 bf16)
+    # in a fresh subprocess so its compile/donation can't disturb the
+    # timed synthesis graphs; skipped when the budget is nearly spent
+    remaining = budget_s - (time.perf_counter() - t_start)
+    if remaining > 420 and os.environ.get("CMTTS_BENCH_TRAIN", "1") != "0":
+        import subprocess
+        import sys
+
+        try:
+            out = subprocess.run(
+                [sys.executable,
+                 os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                              "tools", "bench_train.py"),
+                 "--K", "8", "--iters", "16", "--skip_k1"],
+                capture_output=True, text=True, timeout=remaining - 60)
+            for line in out.stdout.splitlines():
+                try:
+                    d = json.loads(line)
+                except ValueError:
+                    continue
+                if d.get("config") == "K=8":
+                    extra["train_steps_per_sec_b32x768_bf16_K8"] = \
+                        d["steps_per_sec"]
+                    extra["train_ms_per_step"] = d["ms_per_step"]
+        except Exception as e:  # never let the extra kill the headline
+            extra["train_bench_error"] = str(e)[:200]
+
     print(json.dumps({
         "metric": "rtf_T1",
         "value": rtf1,

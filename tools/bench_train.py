@@ -29,6 +29,10 @@ def main():
     ap.add_argument("--f32", action="store_true")
     ap.add_argument("--unroll", type=int, default=1,
                     help="denoiser residual-scan unroll factor")
+    ap.add_argument("--skip_k1", action="store_true",
+                    help="measure only the K-step scan config (halves "
+                         "compile time; used by bench.py's budget-guarded "
+                         "train extra)")
     args = ap.parse_args()
 
     import jax
@@ -92,7 +96,7 @@ def main():
     params_host = jax.tree_util.tree_map(np.asarray, variables["params"])
 
     results = {}
-    for K in (1, args.K):
+    for K in ((args.K,) if args.skip_k1 else (1, args.K)):
         params = jax.tree_util.tree_map(jnp.asarray, params_host)
         state = create_train_state(params, tx, n_ema=3)
         step = make_train_step(model, cfg, tx, num_scales=3, donate=True,
@@ -121,7 +125,7 @@ def main():
                           "dtype": "f32" if args.f32 else "bf16",
                           "unroll": args.unroll,
                           **results[f"K{K}"]}), flush=True)
-    if args.K > 1:
+    if args.K > 1 and not args.skip_k1:
         print(json.dumps({"speedup_scan": round(
             results[f"K{args.K}"]["steps_per_sec"] /
             results["K1"]["steps_per_sec"], 2)}))
