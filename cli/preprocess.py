@@ -16,7 +16,13 @@ def main():
     parser.add_argument("--embedder_ckpt", type=str, default=None,
                         help="DeepSpeaker .h5 or GE2E encoder.pt checkpoint "
                              "(random-init embedder if omitted)")
+    parser.add_argument("--workers", type=int, default=1,
+                        help="parallel feature-extraction processes "
+                             "(0 = cpu count; ignored with a speaker "
+                             "embedder)")
     args = parser.parse_args()
+    if args.workers == 0:
+        args.workers = os.cpu_count() or 1
 
     os.environ.setdefault("JAX_PLATFORMS", "cpu")  # host-side pipeline
 
@@ -32,7 +38,8 @@ def main():
         if args.embedder_ckpt is None:
             print("WARNING: no --embedder_ckpt; speaker embeddings use a "
                   "random-init encoder")
-    Preprocessor(cfg, speaker_embedder=embedder).build_from_path()
+    Preprocessor(cfg, speaker_embedder=embedder).build_from_path(
+        workers=args.workers)
 
 
 if __name__ == "__main__":

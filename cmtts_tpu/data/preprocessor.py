@@ -191,12 +191,59 @@ class Preprocessor:
         return cwt, scales, np.array([mean, std])
 
     # -- corpus ------------------------------------------------------------
-    def build_from_path(self):
+    def _list_tasks(self):
+        """Deterministic (speaker_idx, speaker, basename) work list."""
+        speakers: dict[str, int] = {}
+        tasks: list[tuple[str, str]] = []
+        for i, speaker in enumerate(sorted(os.listdir(self.in_dir))):
+            spk_dir = os.path.join(self.in_dir, speaker)
+            if not os.path.isdir(spk_dir):
+                continue
+            speakers[speaker] = i
+            for wav_name in sorted(os.listdir(spk_dir)):
+                if not wav_name.endswith(".wav"):
+                    continue
+                basename = wav_name[:-4]
+                if os.path.exists(self._tg_path(speaker, basename)):
+                    tasks.append((speaker, basename))
+        return speakers, tasks
+
+    def _iter_results(self, tasks, save_emb: bool, workers: int):
+        """Yield (speaker, basename, ret-or-None) in deterministic task
+        order; ``workers > 1`` fans the per-utterance feature extraction
+        over a spawn-based process pool (each worker pins
+        JAX_PLATFORMS=cpu so the pool can never claim the shared TPU).
+        The reference's loop is serial (preprocessor.py:108-131);
+        per-utterance work is embarrassingly parallel (SURVEY §3.4)."""
+        if workers <= 1 or self.speaker_embedder is not None:
+            if workers > 1:
+                print("preprocess: --workers ignored with a speaker "
+                      "embedder (the embedder model is not fork-safe); "
+                      "running serial")
+            for speaker, basename in tasks:
+                try:
+                    ret = self.process_utterance(speaker, basename, save_emb)
+                except (AssertionError, ValueError, KeyError):
+                    ret = None
+                yield speaker, basename, ret
+            return
+        import multiprocessing as mp
+        from concurrent.futures import ProcessPoolExecutor
+
+        ctx = mp.get_context("spawn")
+        with ProcessPoolExecutor(
+                max_workers=workers, mp_context=ctx,
+                initializer=_init_pp_worker,
+                initargs=(self.cfg, self.dataset_type)) as ex:
+            for (speaker, basename), ret in zip(
+                    tasks, ex.map(_pp_worker_run, tasks, chunksize=8)):
+                yield speaker, basename, ret
+
+    def build_from_path(self, workers: int = 1):
         for d in FEATURE_DIRS:
             os.makedirs(os.path.join(self.out_dir, d), exist_ok=True)
 
         val_prior = self._val_prior_names()
-        speakers: dict[str, int] = {}
         out, train, val = [], [], []
         filtered = []
         f0s = []
@@ -208,46 +255,34 @@ class Preprocessor:
         n_frames_total = 0
         emb_acc: dict[str, list] = {}
 
-        for i, speaker in enumerate(sorted(os.listdir(self.in_dir))):
-            spk_dir = os.path.join(self.in_dir, speaker)
-            if not os.path.isdir(spk_dir):
+        speakers, tasks = self._list_tasks()
+        save_emb = self.speaker_embedder is not None
+        for speaker, basename, ret in self._iter_results(
+                tasks, save_emb, workers):
+            if ret is None:
+                filtered.append(basename)
                 continue
-            speakers[speaker] = i
-            save_emb = self.speaker_embedder is not None
-            for wav_name in sorted(os.listdir(spk_dir)):
-                if not wav_name.endswith(".wav"):
-                    continue
-                basename = wav_name[:-4]
-                if not os.path.exists(self._tg_path(speaker, basename)):
-                    continue
-                try:
-                    ret = self.process_utterance(speaker, basename, save_emb)
-                except (AssertionError, ValueError, KeyError) as e:
-                    ret = None
-                if ret is None:
-                    filtered.append(basename)
-                    continue
-                if val_prior is not None:
-                    (val if basename in val_prior else train).append(ret["info"])
-                else:
-                    out.append(ret["info"])
-                if ret["f0"] is not None and len(ret["f0"]):
-                    f0s.append(ret["f0"])
-                e = ret["energy"]
-                if len(e):
-                    energy_sum += e.sum()
-                    energy_sq += (e ** 2).sum()
-                    energy_n += len(e)
-                if save_emb and ret["spker_embed"] is not None:
-                    emb_acc.setdefault(speaker, []).append(ret["spker_embed"])
-                mel_min = np.minimum(mel_min, ret["mel_min"])
-                mel_max = np.maximum(mel_max, ret["mel_max"])
-                max_seq_len = max(max_seq_len, ret["n_frames"])
-                n_frames_total += ret["n_frames"]
-            if speaker in emb_acc:
-                np.save(os.path.join(self.out_dir, "spker_embed",
-                                     f"{speaker}-spker_embed.npy"),
-                        np.mean(emb_acc[speaker], axis=0))
+            if val_prior is not None:
+                (val if basename in val_prior else train).append(ret["info"])
+            else:
+                out.append(ret["info"])
+            if ret["f0"] is not None and len(ret["f0"]):
+                f0s.append(ret["f0"])
+            e = ret["energy"]
+            if len(e):
+                energy_sum += e.sum()
+                energy_sq += (e ** 2).sum()
+                energy_n += len(e)
+            if save_emb and ret["spker_embed"] is not None:
+                emb_acc.setdefault(speaker, []).append(ret["spker_embed"])
+            mel_min = np.minimum(mel_min, ret["mel_min"])
+            mel_max = np.maximum(mel_max, ret["mel_max"])
+            max_seq_len = max(max_seq_len, ret["n_frames"])
+            n_frames_total += ret["n_frames"]
+        for speaker, embs in emb_acc.items():
+            np.save(os.path.join(self.out_dir, "spker_embed",
+                                 f"{speaker}-spker_embed.npy"),
+                    np.mean(embs, axis=0))
 
         f0_mean = f0_std = 0.0
         if f0s:
@@ -327,6 +362,35 @@ class Preprocessor:
         if not np.isfinite(vmin):
             vmin, vmax = 0.0, 1.0
         return vmin, vmax
+
+
+# -- multiprocessing workers (spawn context) --------------------------------
+_PP_WORKER: Preprocessor | None = None
+
+
+def _init_pp_worker(cfg, dataset_type):
+    """Pool initializer: pin the worker to CPU BEFORE any jax backend
+    initializes (a worker must never claim the shared TPU chip), then
+    build a per-process Preprocessor."""
+    import os as _os
+
+    _os.environ["JAX_PLATFORMS"] = "cpu"
+    import jax as _jax
+
+    try:
+        _jax.config.update("jax_platforms", "cpu")
+    except Exception:
+        pass
+    global _PP_WORKER
+    _PP_WORKER = Preprocessor(cfg, dataset_type)
+
+
+def _pp_worker_run(task):
+    speaker, basename = task
+    try:
+        return _PP_WORKER.process_utterance(speaker, basename, False)
+    except (AssertionError, ValueError, KeyError):
+        return None
 
 
 def remove_outlier(values: np.ndarray) -> np.ndarray:

@@ -236,3 +236,41 @@ def test_dataset_rejects_desynced_alignment(mini_config):
                 ds[i]
     finally:
         shutil.move(backup, train_txt)
+
+
+def test_preprocessor_parallel_matches_serial(mini_config, tmp_path):
+    """build_from_path(workers=2) must produce identical features/stats
+    to the serial path (spawn pool, CPU-pinned workers)."""
+    import dataclasses
+    import shutil as sh
+
+    cfg = mini_config
+    # fresh preprocessed dirs need the fixture's TextGrid alignments
+    pre1, pre2 = str(tmp_path / "pre_ser"), str(tmp_path / "pre_par")
+    for p in (pre1, pre2):
+        sh.copytree(os.path.join(cfg.data.preprocessed_path, "TextGrid"),
+                    os.path.join(p, "TextGrid"))
+
+    cfg2 = dataclasses.replace(cfg, data=dataclasses.replace(
+        cfg.data, preprocessed_path=pre2))
+    train, val = Preprocessor(cfg2).build_from_path(workers=2)
+    assert len(train) + len(val) == 3
+
+    cfg1 = dataclasses.replace(cfg, data=dataclasses.replace(
+        cfg.data, preprocessed_path=pre1))
+    Preprocessor(cfg1).build_from_path(workers=1)
+
+    s1 = json.load(open(os.path.join(pre1, "stats.json")))
+    s2 = json.load(open(os.path.join(pre2, "stats.json")))
+    assert s1 == s2
+    for kind in ("mel", "duration", "mel2ph", "energy", "f0"):
+        for name in sorted(os.listdir(os.path.join(pre1, kind))):
+            a = np.load(os.path.join(pre1, kind, name))
+            b = np.load(os.path.join(pre2, kind, name))
+            np.testing.assert_array_equal(a, b, err_msg=f"{kind}/{name}")
+    # same utterance set (split order is shuffled, content identical)
+    def keyset(p):
+        rows = open(os.path.join(p, "train.txt")).read().splitlines() + \
+            open(os.path.join(p, "val.txt")).read().splitlines()
+        return sorted(rows)
+    assert keyset(pre1) == keyset(pre2)
