@@ -24,7 +24,11 @@ Endpoints:
 
 Device access is serialized with a lock (one chip, one graph at a
 time); the HTTP layer is threaded so health checks never queue behind
-synthesis.
+synthesis. Concurrent /tts requests coalesce into batched device calls
+(``--max_batch`` / ``--batch_window_ms``): a dispatcher drains the queue
+for a few ms and runs all compatible requests (same seed/controls) as
+one power-of-two-padded XLA call — throughput scales with offered load
+while light traffic keeps single-request latency.
 """
 
 from __future__ import annotations
@@ -58,11 +62,37 @@ def wav_bytes(wav: np.ndarray, sr: int) -> bytes:
     return buf.getvalue()
 
 
+class _Pending:
+    """One enqueued /tts request awaiting a batched device call."""
+
+    __slots__ = ("toks", "speaker", "key", "event", "result", "error")
+
+    def __init__(self, toks, speaker, key):
+        self.toks = toks
+        self.speaker = speaker
+        self.key = key  # (seed, d_control, p_control, e_control)
+        self.event = threading.Event()
+        self.result = None
+        self.error = None
+
+
 class TTSService:
-    """Owns the Synthesizer + text frontend; thread-safe synth()."""
+    """Owns the Synthesizer + text frontend; thread-safe synth().
+
+    With ``max_batch > 1``, concurrent requests coalesce: a dispatcher
+    thread drains the queue for up to ``batch_window_ms`` and runs all
+    compatible requests (same seed/controls; speakers may differ) as ONE
+    batched XLA call, padded to the next power-of-two batch size so the
+    compile count stays bounded. Throughput scales with the batch while
+    each request still sees a single device-call latency. Note: under
+    batching, a sample's noise row depends on its position in the
+    coalesced batch, so byte-exact reproducibility for a given seed
+    needs ``max_batch=1``.
+    """
 
     def __init__(self, synth, cfg, lexicon_path: str | None = None,
-                 lang: str = "en"):
+                 lang: str = "en", max_batch: int = 1,
+                 batch_window_ms: float = 5.0):
         self.synth = synth
         self.cfg = cfg
         self.lexicon_path = lexicon_path or getattr(
@@ -70,6 +100,16 @@ class TTSService:
         self.lang = lang
         self.lock = threading.Lock()
         self.requests = 0
+        self.max_batch = max(1, int(max_batch))
+        self.batch_window_s = batch_window_ms / 1000.0
+        self.batch_hist: dict[int, int] = {}
+        self._queue: list[_Pending] = []
+        self._qcond = threading.Condition()
+        self._dispatcher = None
+        if self.max_batch > 1:
+            self._dispatcher = threading.Thread(
+                target=self._dispatch_loop, daemon=True)
+            self._dispatcher.start()
 
     def tokens(self, text: str) -> np.ndarray:
         try:
@@ -91,23 +131,87 @@ class TTSService:
         toks = self.tokens(text)
         if len(toks) == 0:
             raise ValueError("text produced no phonemes")
+        req = _Pending(toks, int(speaker),
+                       (int(seed), float(d_control), float(p_control),
+                        float(e_control)))
+        if self._dispatcher is None:
+            self._run_group([req])
+        else:
+            with self._qcond:
+                self._queue.append(req)
+                self._qcond.notify()
+            req.event.wait()
+        if req.error is not None:
+            raise req.error
+        return req.result
+
+    def _dispatch_loop(self):
+        while True:
+            with self._qcond:
+                while not self._queue:
+                    self._qcond.wait()
+                first = self._queue.pop(0)
+            deadline = time.perf_counter() + self.batch_window_s
+            group = [first]
+            while len(group) < self.max_batch:
+                remaining = deadline - time.perf_counter()
+                if remaining <= 0:
+                    break
+                with self._qcond:
+                    if not self._queue:
+                        self._qcond.wait(remaining)
+                    # drain only requests batch-compatible with `first`
+                    keep, take = [], []
+                    for r in self._queue:
+                        (take if (r.key == first.key and
+                                  len(group) + len(take) < self.max_batch)
+                         else keep).append(r)
+                    self._queue[:] = keep
+                group.extend(take)
+            try:
+                self._run_group(group)
+            except Exception as e:  # noqa: BLE001 — deliver, don't die
+                for r in group:
+                    r.error = e
+                    r.event.set()
+
+    def _run_group(self, group: list[_Pending]):
+        """One batched device call for `group`; pads the batch to the
+        next power of two (bounded compile count) and slices results."""
+        seed, d_control, p_control, e_control = group[0].key
+        b0 = len(group)
+        b = 1
+        while b < b0:
+            b *= 2
+        toks = [r.toks for r in group] + [group[-1].toks] * (b - b0)
+        speakers = np.asarray([r.speaker for r in group] +
+                              [group[-1].speaker] * (b - b0), np.int32)
         t0 = time.perf_counter()
-        with self.lock:
-            mel, mel_lens, wav = self.synth(
-                [toks], speakers=np.asarray([speaker], np.int32),
-                seed=seed, d_control=d_control, p_control=p_control,
-                e_control=e_control)
-            self.requests += 1
+        try:
+            with self.lock:
+                mel, mel_lens, wav = self.synth(
+                    toks, speakers=speakers, seed=seed,
+                    d_control=d_control, p_control=p_control,
+                    e_control=e_control)
+                self.requests += b0
+                self.batch_hist[b0] = self.batch_hist.get(b0, 0) + 1
+        except Exception as e:  # noqa: BLE001
+            for r in group:
+                r.error = e
+                r.event.set()
+            return
         latency = time.perf_counter() - t0
         hop = self.cfg.stft.hop_length
         sr = self.cfg.stft.sampling_rate
-        n = int(mel_lens[0])
-        if wav is not None:
-            out = np.asarray(wav[0][: n * hop])
-        else:  # mel-only model (--vocoder none): Griffin-Lim on host
-            out = np.asarray(self._griffin(mel[0, :n]))
-        audio_sec = max(len(out) / sr, 1e-9)
-        return out, sr, latency, latency / audio_sec
+        for i, r in enumerate(group):
+            n = int(mel_lens[i])
+            if wav is not None:
+                out = np.asarray(wav[i][: n * hop])
+            else:  # mel-only model (--vocoder none): Griffin-Lim on host
+                out = np.asarray(self._griffin(mel[i, :n]))
+            audio_sec = max(len(out) / sr, 1e-9)
+            r.result = (out, sr, latency, latency / audio_sec)
+            r.event.set()
 
     def _griffin(self, mel):
         if not hasattr(self, "_gl"):
@@ -126,18 +230,22 @@ class TTSService:
         """Precompile request graphs: the smallest bucket pair by
         default, every (text, mel) bucket pair with ``all_buckets``."""
         texts = [8] if not all_buckets else list(self.synth.text_buckets)
+        batches = [1]
+        while batches[-1] < self.max_batch:  # pow2 batch shapes the
+            batches.append(batches[-1] * 2)  # dispatcher can emit
         n = 0
         for tb in texts:
             toks = np.ones(min(tb, 4), np.int32) * 13
             mels = ([None] if not all_buckets
                     else list(self.synth.mel_buckets))
             for mb in mels:
-                t0 = time.perf_counter()
-                with self.lock:
-                    self.synth([np.resize(toks, tb)], mel_bucket=mb)
-                n += 1
-                log(f"warmup: text_bucket={tb} mel_bucket={mb} "
-                    f"({time.perf_counter() - t0:.1f}s)")
+                for B in batches:
+                    t0 = time.perf_counter()
+                    with self.lock:
+                        self.synth([np.resize(toks, tb)] * B, mel_bucket=mb)
+                    n += 1
+                    log(f"warmup: B={B} text_bucket={tb} mel_bucket={mb} "
+                        f"({time.perf_counter() - t0:.1f}s)")
         return n
 
     def status(self) -> dict:
@@ -152,6 +260,9 @@ class TTSService:
             "sampler": self.synth.sampler,
             "text_buckets": list(self.synth.text_buckets),
             "mel_buckets": list(self.synth.mel_buckets),
+            "max_batch": self.max_batch,
+            "batch_hist": {str(k): v
+                           for k, v in sorted(self.batch_hist.items())},
         }
 
 
@@ -239,6 +350,13 @@ def main():
     parser.add_argument("--warmup_all", action="store_true",
                         help="precompile EVERY (text, mel) bucket pair at "
                              "boot — slower start, zero cold requests")
+    parser.add_argument("--max_batch", type=int, default=8,
+                        help="dynamic micro-batching: coalesce up to N "
+                             "concurrent requests into one device call "
+                             "(1 disables)")
+    parser.add_argument("--batch_window_ms", type=float, default=5.0,
+                        help="how long a request waits for co-batchable "
+                             "traffic before dispatching")
     parser.add_argument("--bf16", action="store_true", default=True)
     args = parser.parse_args()
 
@@ -267,7 +385,9 @@ def main():
     synth = Synthesizer(cfg, payload[args.params_role], voc_params,
                         T=args.T, vocoder_name=cfg.model.vocoder_model,
                         compute_dtype=jnp.bfloat16 if args.bf16 else None)
-    service = TTSService(synth, cfg, args.lexicon_path, args.lang)
+    service = TTSService(synth, cfg, args.lexicon_path, args.lang,
+                         max_batch=args.max_batch,
+                         batch_window_ms=args.batch_window_ms)
     print(f"warming up ({'all buckets' if args.warmup_all else 'smallest'})…",
           flush=True)
     service.warmup(all_buckets=args.warmup_all)

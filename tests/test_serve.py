@@ -130,3 +130,66 @@ def test_warmup_counts_graphs(service):
     n = service.warmup(all_buckets=True, log=lambda *a: None)
     assert n == len(service.synth.text_buckets) * len(service.synth.mel_buckets)
     assert len(service.synth._jitted) >= max(before, 1)
+
+
+@pytest.fixture(scope="module")
+def batch_service(service):
+    """Same Synthesizer, micro-batching dispatcher enabled."""
+    from serve import TTSService
+
+    return TTSService(service.synth, service.cfg, max_batch=4,
+                      batch_window_ms=200.0)
+
+
+def test_microbatching_coalesces_concurrent_requests(batch_service):
+    svc = batch_service
+    results = [None] * 4
+    errors = []
+
+    def one(i):
+        try:
+            results[i] = svc.synthesize("hello world", seed=7, speaker=0)
+        except Exception as e:  # noqa: BLE001
+            errors.append(e)
+
+    threads = [threading.Thread(target=one, args=(i,)) for i in range(4)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join(timeout=600)
+    assert not errors
+    assert all(r is not None for r in results)
+    # the 200 ms window must have coalesced at least one multi-request
+    # batch (4 near-simultaneous requests, max_batch=4)
+    assert max(int(k) for k in svc.batch_hist) >= 2
+    sr = svc.cfg.stft.sampling_rate
+    for out, rate, latency, rtf in results:
+        assert rate == sr and latency > 0 and rtf > 0
+
+
+def test_microbatching_matches_direct_path(service, batch_service):
+    """A lone batched request (window expires, B=1) must produce the
+    same audio as the direct unbatched path (same seed, same graph)."""
+    direct = service.synthesize("ok then", seed=11)
+    via_queue = batch_service.synthesize("ok then", seed=11)
+    np.testing.assert_allclose(direct[0], via_queue[0], atol=1e-5)
+
+
+def test_microbatching_delivers_errors(service):
+    """A device-call failure must surface in the REQUESTING thread, not
+    kill the dispatcher."""
+    from serve import TTSService
+
+    svc = TTSService(service.synth, service.cfg, max_batch=4,
+                     batch_window_ms=1.0)
+
+    def boom(*a, **k):
+        raise RuntimeError("device on fire")
+
+    svc.synth = type("S", (), {"__call__": staticmethod(boom)})()
+    with pytest.raises(RuntimeError, match="device on fire"):
+        svc.synthesize("hello")
+    # dispatcher survives: a later request on a working synth succeeds
+    svc.synth = service.synth
+    out, sr, latency, rtf = svc.synthesize("hello again", seed=2)
+    assert sr == service.cfg.stft.sampling_rate
