@@ -70,8 +70,11 @@ def preprocess_english(text: str, lexicon_path: str, cleaners) -> np.ndarray:
 def main():
     parser = argparse.ArgumentParser()
     parser.add_argument("--restore_step", type=int, default=0)
-    parser.add_argument("--mode", type=str, choices=["batch", "single"],
+    parser.add_argument("--mode", type=str,
+                        choices=["batch", "single", "long"],
                         required=True)
+    parser.add_argument("--gap_ms", type=float, default=150.0,
+                        help="long mode: inter-chunk silence")
     parser.add_argument("--source", type=str, default=None,
                         help="metadata file for batch mode")
     parser.add_argument("--text", type=str, default=None)
@@ -177,23 +180,58 @@ def main():
                          title=basename)
         print(f"synthesized {len(ids)} -> {out_dir}")
 
+    def tokenize(text: str) -> np.ndarray:
+        if args.lang == "zh":
+            from cmtts_tpu.text import text_to_sequence
+            from cmtts_tpu.text.pinyin import preprocess_mandarin
+
+            phones = preprocess_mandarin(text)
+            print(f"Phoneme sequence: {phones}")
+            return np.asarray(text_to_sequence(phones, []), dtype=np.int32)
+        return preprocess_english(
+            text, cfg.data.lexicon_path, list(cfg.data.text_cleaners))
+
     if args.mode == "batch":
         dataset = TextMetaDataset(args.source, cfg)
         for batch in dataset.batches(args.batch_size):
             run_batch(batch["ids"], batch["tokens"], batch["speakers"],
                       batch["spker_embeds"])
-    else:
-        if args.lang == "zh":
-            from cmtts_tpu.text import text_to_sequence
-            from cmtts_tpu.text.pinyin import preprocess_mandarin
+    elif args.mode == "long":
+        # long-form: sentence-split -> packed chunks -> ONE batched
+        # device call -> spliced waveform (no reference counterpart: the
+        # reference truncates at max_seq_len, utils/tools.py:304)
+        from cmtts_tpu.pipeline import synthesize_long
+        from cmtts_tpu.text import text_to_sequence
+        from cmtts_tpu.text.segment import chunk_text
 
-            phones = preprocess_mandarin(args.text)
-            print(f"Phoneme sequence: {phones}")
-            tokens = np.asarray(text_to_sequence(phones, []), dtype=np.int32)
-        else:
-            tokens = preprocess_english(
-                args.text, cfg.data.lexicon_path, list(cfg.data.text_cleaners))
-        run_batch(["single"], [tokens],
+        budget = max(8, int(cfg.model.max_seq_len /
+                            (10 * max(args.duration_control, 1e-3))))
+        sp_id = text_to_sequence("{sp}", [])[0]
+        chunks = chunk_text(args.text, tokenize, budget, sep_token=sp_id)
+        if not chunks:
+            raise SystemExit("text produced no phonemes")
+        print(f"long mode: {len(chunks)} chunk(s), "
+              f"budget {budget} tokens/chunk")
+        wav, mels, mel_lens = synthesize_long(
+            synth, chunks, speaker=args.speaker_id, gap_ms=args.gap_ms,
+            d_control=args.duration_control, p_control=args.pitch_control,
+            e_control=args.energy_control)
+        sr = cfg.stft.sampling_rate
+        if wav is None and griffin is not None:
+            gap = np.zeros(int(sr * args.gap_ms / 1000.0), np.float32)
+            pieces = []
+            for i, m in enumerate(mels):
+                pieces.append(np.asarray(griffin(m), np.float32))
+                if i < len(mels) - 1:
+                    pieces.append(gap)
+            wav = np.concatenate(pieces)
+        if wav is not None:
+            write_wav(os.path.join(out_dir, "long.wav"), wav, sr)
+            print(f"long.wav: {len(wav) / sr:.1f}s -> {out_dir}")
+        for i, m in enumerate(mels):
+            np.save(os.path.join(out_dir, f"long-chunk{i:02d}-mel.npy"), m)
+    else:
+        run_batch(["single"], [tokenize(args.text)],
                   np.asarray([args.speaker_id], np.int32), None)
 
 

@@ -258,3 +258,47 @@ class Synthesizer:
         utils/tools.py:594-607)."""
         hop = self.cfg.stft.hop_length
         return [w[: int(l) * hop] for w, l in zip(wav, mel_lens)]
+
+
+def synthesize_long(
+    synth: Synthesizer,
+    token_chunks,
+    speaker: int = 0,
+    spker_embed: np.ndarray | None = None,
+    gap_ms: float = 150.0,
+    seed: int = 42,
+    d_control: float = 1.0,
+    p_control: float = 1.0,
+    e_control: float = 1.0,
+):
+    """Long-form synthesis: run all pre-packed chunks (see
+    ``cmtts_tpu.text.segment.chunk_text``) as ONE batched device call,
+    then splice the trimmed per-chunk waveforms with ``gap_ms`` of
+    silence. The reference has no long-form path — its length regulator
+    silently truncates at max_seq_len (utils/tools.py:304).
+
+    Returns ``(wav, mels, mel_lens)``: the spliced waveform (or None
+    for a mel-only synthesizer) and the per-chunk trimmed mels.
+    """
+    if not token_chunks:
+        raise ValueError("no token chunks to synthesize")
+    B = len(token_chunks)
+    speakers = np.full(B, speaker, np.int32)
+    embeds = (None if spker_embed is None
+              else np.tile(np.asarray(spker_embed, np.float32)[None], (B, 1)))
+    mel, mel_lens, wav = synth(
+        token_chunks, speakers=speakers, spker_embeds=embeds, seed=seed,
+        d_control=d_control, p_control=p_control, e_control=e_control)
+    mels = [mel[i, : int(mel_lens[i])] for i in range(B)]
+    if wav is None:
+        return None, mels, mel_lens
+    sr = synth.cfg.stft.sampling_rate
+    gap = np.zeros(int(sr * gap_ms / 1000.0), np.float32)
+    pieces = synth.trim_wavs(wav, mel_lens)
+    out = []
+    for i, p in enumerate(pieces):
+        out.append(np.asarray(p, np.float32))
+        if i < len(pieces) - 1:
+            out.append(gap)
+    return np.concatenate(out) if out else np.zeros(0, np.float32), \
+        mels, mel_lens
