@@ -176,9 +176,15 @@ def main():
         teacher_params = jax.tree_util.tree_map(jnp.asarray, teacher_params)
         print(f"==> loaded teacher from {tp}")
         # student initializes from the teacher (reference
-        # train_util.py:651-687 resume-from-teacher plumbing)
+        # train_util.py:651-687 resume-from-teacher plumbing). The
+        # student must get a COPY: the jitted step donates the state
+        # buffers (loop.py:300-302), and aliasing them with the frozen
+        # teacher would delete the teacher's arrays after step one.
         if step0 == 0:
-            state = create_train_state(teacher_params, tx, len(cm.ema_rate))
+            state = create_train_state(
+                jax.tree_util.tree_map(lambda x: jnp.array(x, copy=True),
+                                       teacher_params),
+                tx, len(cm.ema_rate))
 
     if args.tp > 1:
         from cmtts_tpu.parallel.sharding import make_mesh_2d, tp_shard_tree

@@ -197,6 +197,30 @@ def test_consistency_distillation_step(train_setup):
         make_train_step(model, cfg, tx, num_scales=3, donate=False)
 
 
+def test_cd_student_from_teacher_survives_donation(train_setup):
+    """The CLI initializes the CD student FROM the teacher params; with
+    buffer donation on (the production path) the student state must be
+    a COPY — aliasing would delete the frozen teacher's arrays after
+    the first step (regression: train_cm.py student-from-teacher)."""
+    cfg, model, tx, state, batch = train_setup
+    import dataclasses
+    cfg = dataclasses.replace(cfg, train=dataclasses.replace(
+        cfg.train, cm=dataclasses.replace(
+            cfg.train.cm, training_mode="consistency_distillation")))
+    from cmtts_tpu.train.state import create_train_state
+    teacher = jax.tree_util.tree_map(jnp.asarray, state.params)
+    st = create_train_state(
+        jax.tree_util.tree_map(lambda x: jnp.array(x, copy=True), teacher),
+        tx, n_ema=3)
+    step = make_train_step(model, cfg, tx, num_scales=3, donate=True,
+                           teacher_params=teacher)
+    probs = jnp.asarray(create_schedule_sampler("uniform", 3).probs())
+    st, m1 = step(st, batch, probs, jax.random.PRNGKey(3), jnp.asarray(0.95))
+    # a second step still reads the (undonated) teacher
+    st, m2 = step(st, batch, probs, jax.random.PRNGKey(4), jnp.asarray(0.95))
+    assert np.isfinite(float(m1["loss"])) and np.isfinite(float(m2["loss"]))
+
+
 def test_progdist_step(train_setup):
     """Progressive distillation (reference karras_diffusion.py:299-390)."""
     cfg, model, tx, state, batch = train_setup
