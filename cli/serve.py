@@ -127,10 +127,19 @@ class TTSService:
 
     def synthesize(self, text: str, seed: int = 42, speaker: int = 0,
                    d_control: float = 1.0, p_control: float = 1.0,
-                   e_control: float = 1.0):
+                   e_control: float = 1.0, gap_ms: float = 150.0):
         toks = self.tokens(text)
         if len(toks) == 0:
             raise ValueError("text produced no phonemes")
+        budget = max(8, int(self.cfg.model.max_seq_len /
+                            (10 * max(d_control, 1e-3))))
+        if len(toks) > budget:
+            # long-form: the single-utterance path would truncate at
+            # max_seq_len; chunk + splice instead (bypasses the
+            # micro-batch queue — it is already a batched call)
+            return self._synthesize_long(
+                text, budget, seed, speaker, d_control, p_control,
+                e_control, gap_ms)
         req = _Pending(toks, int(speaker),
                        (int(seed), float(d_control), float(p_control),
                         float(e_control)))
@@ -144,6 +153,36 @@ class TTSService:
         if req.error is not None:
             raise req.error
         return req.result
+
+    def _synthesize_long(self, text, budget, seed, speaker,
+                         d_control, p_control, e_control, gap_ms):
+        from cmtts_tpu.pipeline import synthesize_long
+        from cmtts_tpu.text import text_to_sequence
+        from cmtts_tpu.text.segment import chunk_text
+
+        sp_id = text_to_sequence("{sp}", [])[0]
+        chunks = chunk_text(text, self.tokens, budget, sep_token=sp_id)
+        if not chunks:
+            raise ValueError("text produced no phonemes")
+        t0 = time.perf_counter()
+        with self.lock:
+            wav, mels, mel_lens = synthesize_long(
+                self.synth, chunks, speaker=int(speaker), gap_ms=gap_ms,
+                seed=int(seed), d_control=d_control, p_control=p_control,
+                e_control=e_control, pad_pow2=True)
+            self.requests += 1
+        latency = time.perf_counter() - t0
+        sr = self.cfg.stft.sampling_rate
+        if wav is None:  # mel-only model: Griffin-Lim each chunk
+            gap = np.zeros(int(sr * gap_ms / 1000.0), np.float32)
+            pieces = []
+            for i, m in enumerate(mels):
+                pieces.append(np.asarray(self._griffin(m), np.float32))
+                if i < len(mels) - 1:
+                    pieces.append(gap)
+            wav = np.concatenate(pieces)
+        audio_sec = max(len(wav) / sr, 1e-9)
+        return np.asarray(wav), sr, latency, latency / audio_sec
 
     def _dispatch_loop(self):
         while True:
@@ -291,7 +330,8 @@ def build_handler(service: TTSService):
                     speaker=int(params.get("speaker", 0)),
                     d_control=float(params.get("d_control", 1.0)),
                     p_control=float(params.get("p_control", 1.0)),
-                    e_control=float(params.get("e_control", 1.0)))
+                    e_control=float(params.get("e_control", 1.0)),
+                    gap_ms=float(params.get("gap_ms", 150.0)))
             except ValueError as e:
                 return self._json(400, {"error": str(e)})
             body = wav_bytes(out, sr)

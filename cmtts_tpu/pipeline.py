@@ -270,6 +270,7 @@ def synthesize_long(
     d_control: float = 1.0,
     p_control: float = 1.0,
     e_control: float = 1.0,
+    pad_pow2: bool = False,
 ):
     """Long-form synthesis: run all pre-packed chunks (see
     ``cmtts_tpu.text.segment.chunk_text``) as ONE batched device call,
@@ -277,18 +278,30 @@ def synthesize_long(
     silence. The reference has no long-form path — its length regulator
     silently truncates at max_seq_len (utils/tools.py:304).
 
+    ``pad_pow2`` pads the batch to the next power of two by repeating
+    the last chunk (padding rows are discarded) — for serving, where
+    the set of compiled batch shapes must stay bounded.
+
     Returns ``(wav, mels, mel_lens)``: the spliced waveform (or None
     for a mel-only synthesizer) and the per-chunk trimmed mels.
     """
     if not token_chunks:
         raise ValueError("no token chunks to synthesize")
     B = len(token_chunks)
-    speakers = np.full(B, speaker, np.int32)
+    token_chunks = list(token_chunks)
+    if pad_pow2:
+        b = 1
+        while b < B:
+            b *= 2
+        token_chunks += [token_chunks[-1]] * (b - B)
+    speakers = np.full(len(token_chunks), speaker, np.int32)
     embeds = (None if spker_embed is None
-              else np.tile(np.asarray(spker_embed, np.float32)[None], (B, 1)))
+              else np.tile(np.asarray(spker_embed, np.float32)[None],
+                           (len(token_chunks), 1)))
     mel, mel_lens, wav = synth(
         token_chunks, speakers=speakers, spker_embeds=embeds, seed=seed,
         d_control=d_control, p_control=p_control, e_control=e_control)
+    mel_lens = mel_lens[:B]
     mels = [mel[i, : int(mel_lens[i])] for i in range(B)]
     if wav is None:
         return None, mels, mel_lens

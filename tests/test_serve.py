@@ -175,6 +175,22 @@ def test_microbatching_matches_direct_path(service, batch_service):
     np.testing.assert_allclose(direct[0], via_queue[0], atol=1e-5)
 
 
+def test_long_text_routes_to_chunked_synthesis(service, monkeypatch):
+    """Text whose phoneme count exceeds max_seq_len/10 must go through
+    the chunked long-form path (splice), not truncate."""
+    import dataclasses
+
+    # shrink the budget so a two-sentence text trips the long path
+    small = dataclasses.replace(service.cfg, model=dataclasses.replace(
+        service.cfg.model, max_seq_len=100))  # budget = 10 tokens
+    monkeypatch.setattr(service, "cfg", small)
+    out, sr, latency, rtf = service.synthesize(
+        "the quick brown fox jumps. pack my box with jugs.", seed=5)
+    assert sr == service.cfg.stft.sampling_rate
+    assert latency > 0 and rtf > 0
+    assert isinstance(out, np.ndarray)
+
+
 def test_microbatching_delivers_errors(service):
     """A device-call failure must surface in the REQUESTING thread, not
     kill the dispatcher."""
