@@ -62,6 +62,21 @@ def wav_bytes(wav: np.ndarray, sr: int) -> bytes:
     return buf.getvalue()
 
 
+def pcm16(wav: np.ndarray) -> bytes:
+    return (np.clip(np.asarray(wav, np.float32), -1.0, 1.0)
+            * 32767.0).astype("<i2").tobytes()
+
+
+def wav_stream_header(sr: int) -> bytes:
+    """RIFF/WAVE header with the unknown-length (0xFFFFFFFF) streaming
+    convention — players treat the data chunk as open-ended."""
+    import struct
+
+    return (b"RIFF" + struct.pack("<I", 0xFFFFFFFF) + b"WAVE"
+            + b"fmt " + struct.pack("<IHHIIHH", 16, 1, 1, sr, sr * 2, 2, 16)
+            + b"data" + struct.pack("<I", 0xFFFFFFFF))
+
+
 class _Pending:
     """One enqueued /tts request awaiting a batched device call."""
 
@@ -153,6 +168,42 @@ class TTSService:
         if req.error is not None:
             raise req.error
         return req.result
+
+    def synthesize_stream(self, text: str, seed: int = 42, speaker: int = 0,
+                          d_control: float = 1.0, p_control: float = 1.0,
+                          e_control: float = 1.0, gap_ms: float = 150.0):
+        """Generator of PCM-16 byte chunks: long text is chunked and
+        each chunk synthesizes as its own device call, so the first
+        audio bytes leave after ONE chunk's latency instead of the
+        whole text's. The lock is released between chunks — health
+        checks and other requests interleave with a long stream."""
+        from cmtts_tpu.text import text_to_sequence
+        from cmtts_tpu.text.segment import chunk_text
+
+        budget = max(8, int(self.cfg.model.max_seq_len /
+                            (10 * max(d_control, 1e-3))))
+        sp_id = text_to_sequence("{sp}", [])[0]
+        chunks = chunk_text(text, self.tokens, budget, sep_token=sp_id)
+        if not chunks:
+            raise ValueError("text produced no phonemes")
+        sr = self.cfg.stft.sampling_rate
+        hop = self.cfg.stft.hop_length
+        gap = np.zeros(int(sr * gap_ms / 1000.0), np.float32)
+        for i, toks in enumerate(chunks):
+            with self.lock:
+                mel, mel_lens, wav = self.synth(
+                    [toks], speakers=np.asarray([int(speaker)], np.int32),
+                    seed=int(seed), d_control=d_control,
+                    p_control=p_control, e_control=e_control)
+                self.requests += 1
+            n = int(mel_lens[0])
+            if wav is not None:
+                piece = np.asarray(wav[0][: n * hop])
+            else:
+                piece = np.asarray(self._griffin(mel[0, :n]))
+            if i > 0 and len(gap):
+                yield pcm16(gap)
+            yield pcm16(piece)
 
     def _synthesize_long(self, text, budget, seed, speaker,
                          d_control, p_control, e_control, gap_ms):
@@ -319,10 +370,48 @@ def build_handler(service: TTSService):
             self.end_headers()
             self.wfile.write(body)
 
+        def _tts_stream(self, params: dict):
+            """Chunked-transfer WAV: bytes flow as chunks synthesize."""
+            text = params.get("text", "")
+            if not isinstance(text, str) or not text.strip():
+                return self._json(400, {"error": "missing 'text'"})
+            try:
+                gen = service.synthesize_stream(
+                    text,
+                    seed=int(params.get("seed", 42)),
+                    speaker=int(params.get("speaker", 0)),
+                    d_control=float(params.get("d_control", 1.0)),
+                    p_control=float(params.get("p_control", 1.0)),
+                    e_control=float(params.get("e_control", 1.0)),
+                    gap_ms=float(params.get("gap_ms", 150.0)))
+                first = next(gen)  # synthesize chunk 1 BEFORE headers so
+                # a bad request still gets a clean JSON error
+            except (ValueError, StopIteration) as e:
+                return self._json(400, {"error": str(e) or "empty stream"})
+            self.protocol_version = "HTTP/1.1"
+            self.send_response(200)
+            self.send_header("Content-Type", "audio/wav")
+            self.send_header("Transfer-Encoding", "chunked")
+            self.end_headers()
+
+            def chunk(data: bytes):
+                self.wfile.write(f"{len(data):x}\r\n".encode())
+                self.wfile.write(data)
+                self.wfile.write(b"\r\n")
+
+            sr = service.cfg.stft.sampling_rate
+            chunk(wav_stream_header(sr) + first)
+            for piece in gen:
+                chunk(piece)
+            self.wfile.write(b"0\r\n\r\n")
+            self.close_connection = True
+
         def _tts(self, params: dict):
             text = params.get("text", "")
             if not isinstance(text, str) or not text.strip():
                 return self._json(400, {"error": "missing 'text'"})
+            if str(params.get("stream", "")).lower() in ("1", "true", "yes"):
+                return self._tts_stream(params)
             try:
                 out, sr, latency, rtf = service.synthesize(
                     text,

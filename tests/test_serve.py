@@ -191,6 +191,33 @@ def test_long_text_routes_to_chunked_synthesis(service, monkeypatch):
     assert isinstance(out, np.ndarray)
 
 
+def test_tts_stream_chunked_wav(server_url, service):
+    """stream=1 returns a chunked-transfer WAV whose PCM payload is
+    decodable; bytes arrive per synthesis chunk."""
+    req = urllib.request.Request(
+        server_url + "/tts",
+        data=json.dumps({"text": "hello world. goodbye world.",
+                         "seed": 4, "stream": 1}).encode(),
+        headers={"Content-Type": "application/json"})
+    with urllib.request.urlopen(req, timeout=600) as r:
+        assert r.headers["Content-Type"] == "audio/wav"
+        body = r.read()  # urllib de-chunks transparently
+    assert body[:4] == b"RIFF" and body[8:12] == b"WAVE"
+    assert b"data" in body[:44]
+    pcm = np.frombuffer(body[44:], "<i2")
+    assert pcm.ndim == 1  # valid 16-bit payload (possibly empty-dur model)
+
+
+def test_stream_bad_text_is_json_400(server_url):
+    req = urllib.request.Request(
+        server_url + "/tts",
+        data=json.dumps({"text": "   ", "stream": 1}).encode(),
+        headers={"Content-Type": "application/json"})
+    with pytest.raises(urllib.error.HTTPError) as ei:
+        urllib.request.urlopen(req, timeout=60)
+    assert ei.value.code == 400
+
+
 def test_microbatching_delivers_errors(service):
     """A device-call failure must surface in the REQUESTING thread, not
     kill the dispatcher."""
