@@ -107,6 +107,9 @@ def main():
                         help="which checkpoint role to synthesize from: "
                              "model | target_model | ema_0/1/2 (the "
                              "reference keeps these as separate .pt files)")
+    parser.add_argument("--path_tag", type=str, default="",
+                        help="suffix routing ckpt/result dirs (matches "
+                             "train_cm --path_tag, e.g. a distillation run)")
     args = parser.parse_args()
 
     import jax
@@ -119,6 +122,12 @@ def main():
     from cmtts_tpu.models.hifigan import load_hifigan_params
 
     cfg = load_configs(args.dataset, args.config_root)
+    tag = f"_{args.path_tag}" if args.path_tag else ""
+    if tag:
+        import dataclasses
+
+        cfg = dataclasses.replace(cfg, train=dataclasses.replace(
+            cfg.train, ckpt_path=cfg.train.ckpt_path + tag))
     if args.vocoder in ("hifigan", "melgan"):
         # honor the neural-vocoder override too (not just griffinlim/
         # none): propagate through cfg so the param loader and the
@@ -151,7 +160,7 @@ def main():
 
     synth = Synthesizer(cfg, params, voc_params, T=args.T,
                         vocoder_name=cfg.model.vocoder_model)
-    out_dir = os.path.join(cfg.train.result_path + "_cm",
+    out_dir = os.path.join(cfg.train.result_path + "_cm" + tag,
                            f"step_{args.restore_step}_T{args.T}")
     os.makedirs(out_dir, exist_ok=True)
 

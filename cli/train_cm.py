@@ -102,6 +102,13 @@ def main():
     save_step = cfg.train.save_step
 
     tag = f"_{args.path_tag}" if args.path_tag else ""
+    if tag:
+        # unlike the reference (which comments out ckpt_path tagging,
+        # train_cm.py:180 — so a distillation run clobbers the CT run's
+        # checkpoints), route ALL three output roles through the tag
+        import dataclasses
+        cfg = dataclasses.replace(cfg, train=dataclasses.replace(
+            cfg.train, ckpt_path=cfg.train.ckpt_path + tag))
     log_dir = os.path.join(cfg.train.log_path + "_cm" + tag, "train")
     logger = kvlogger.configure(log_dir)
 

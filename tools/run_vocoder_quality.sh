@@ -22,7 +22,7 @@ python cli/train_hifigan.py --wav_root "$CORPUS/raw" \
 GEN=$(ls "$OUT"/hifigan/hifigan_gen_*.npz | tail -1)
 echo "== generator: $GEN =="
 
-RESULT="$CORPUS/output/LJSpeech_cm"
+RESULT="$CORPUS/output/result/LJSpeech_cm"
 for SRC in step_6000_T1 step_6000_T2 step_6000_T4; do
   echo "== vocode CM mels: $SRC =="
   python tools/vocode_dir.py --mel_dir "$RESULT/$SRC" \
