@@ -80,12 +80,20 @@ def main():
     parser.add_argument("--params_role", type=str, default="target_model",
                         help="checkpoint role to evaluate (the one-step "
                              "sampler uses the target network in training)")
+    parser.add_argument("--path_tag", type=str, default="",
+                        help="checkpoint-dir suffix (matches train_cm "
+                             "--path_tag, e.g. a distillation run)")
     args = parser.parse_args()
 
     from cmtts_tpu.core.config import load_configs
     from cmtts_tpu.train.checkpoint import restore_checkpoint
 
     cfg = load_configs(args.dataset, args.config_root)
+    if args.path_tag:
+        import dataclasses
+
+        cfg = dataclasses.replace(cfg, train=dataclasses.replace(
+            cfg.train, ckpt_path=cfg.train.ckpt_path + f"_{args.path_tag}"))
     payload = restore_checkpoint(cfg.train.ckpt_path, args.restore_step or None)
     if args.params_role not in payload:
         raise SystemExit(f"role {args.params_role!r} not in checkpoint "
