@@ -124,6 +124,9 @@ def timed_rtf(T: int, n_iters: int = 20):
 def main():
     import jax
 
+    from cmtts_tpu.core.cache import enable_persistent_cache
+    enable_persistent_cache()
+
     t_start = time.perf_counter()
     rtf1, fps1, audio_sec = timed_rtf(1)
     extra = {

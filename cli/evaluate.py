@@ -17,6 +17,8 @@ import numpy as np
 
 def evaluate_cm(cfg, params, max_batches=None, with_mel=True, seed=42):
     import jax
+    from cmtts_tpu.core.cache import enable_persistent_cache
+    enable_persistent_cache()
     import jax.numpy as jnp
 
     from cmtts_tpu.cm.losses import variance_loss

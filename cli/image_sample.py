@@ -91,6 +91,8 @@ def load_unet_params(path: str, model, rng):
 def main():
     args = create_argparser().parse_args()
     import jax
+    from cmtts_tpu.core.cache import enable_persistent_cache
+    enable_persistent_cache()
     import jax.numpy as jnp
     import numpy as np
 

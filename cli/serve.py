@@ -462,6 +462,8 @@ def serve(service: TTSService, host: str, port: int):
 
 
 def main():
+    from cmtts_tpu.core.cache import enable_persistent_cache
+    enable_persistent_cache()
     parser = argparse.ArgumentParser()
     parser.add_argument("--dataset", type=str, default="LJSpeech")
     parser.add_argument("--config_root", type=str, default=None)

@@ -113,6 +113,8 @@ def main():
     args = parser.parse_args()
 
     import jax
+    from cmtts_tpu.core.cache import enable_persistent_cache
+    enable_persistent_cache()
 
     from cmtts_tpu.audio.wavio import write_wav
     from cmtts_tpu.core.config import load_configs

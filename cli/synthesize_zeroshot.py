@@ -24,6 +24,8 @@ import numpy as np
 
 
 def main():
+    from cmtts_tpu.core.cache import enable_persistent_cache
+    enable_persistent_cache()
     parser = argparse.ArgumentParser()
     parser.add_argument("--restore_step", type=int, default=0)
     parser.add_argument("--mode", type=str, choices=["batch", "single"],

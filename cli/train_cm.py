@@ -66,6 +66,8 @@ def main():
     args = parser.parse_args()
 
     import jax
+    from cmtts_tpu.core.cache import enable_persistent_cache
+    enable_persistent_cache()
     import jax.numpy as jnp
 
     from cmtts_tpu.core.config import load_configs
