@@ -53,6 +53,13 @@ def main():
                              "(data x model) mesh; device_count/tp becomes "
                              "the data-parallel degree. 1 = pure DP "
                              "(reference is DDP-only, train_util.py:100-117)")
+    parser.add_argument("--schedule_sampler", type=str, default=None,
+                        choices=["uniform", "linear12", "linear21",
+                                 "loss-second-moment", "lognormal"],
+                        help="override train.yaml cm.schedule_sampler "
+                             "(reference resample.py:26-43 names) — used "
+                             "for sampler ablations without editing the "
+                             "config")
     parser.add_argument("--scan_unroll", type=int, default=None,
                         help="denoiser residual-stack lax.scan unroll "
                              "factor (clamped to the layer count; default: "
@@ -91,6 +98,13 @@ def main():
         import dataclasses
         cfg = dataclasses.replace(cfg, train=dataclasses.replace(
             cfg.train, cm=dataclasses.replace(cm, training_mode=args.model)))
+        cm = cfg.train.cm
+    if (args.schedule_sampler is not None
+            and args.schedule_sampler != cm.schedule_sampler):
+        import dataclasses
+        cfg = dataclasses.replace(cfg, train=dataclasses.replace(
+            cfg.train, cm=dataclasses.replace(
+                cm, schedule_sampler=args.schedule_sampler)))
         cm = cfg.train.cm
     if (args.scan_unroll is not None
             and args.scan_unroll != cfg.model.denoiser.scan_unroll):

@@ -70,7 +70,7 @@ stage metrics_ct gl_metrics
 
 if [ "$RUN_VOCODER" = "1" ]; then
   stage vocoder env CORPUS="$CORPUS" OUT="${VOC_OUT:-/tmp/voc_run}" \
-      bash tools/run_vocoder_quality.sh
+      CT_STEPS="$CT_STEPS" bash tools/run_vocoder_quality.sh
 fi
 
 if [ "$RUN_CD" = "1" ]; then

@@ -13,6 +13,7 @@ cd "$(dirname "$0")/.."
 CORPUS=${CORPUS:-/tmp/qcorp}
 OUT=${OUT:-/tmp/voc_run}
 STEPS=${STEPS:-10000}
+CT_STEPS=${CT_STEPS:-6000}
 mkdir -p "$OUT"
 
 echo "== train HiFi-GAN ($STEPS steps, batch 16, paper-scale) =="
@@ -23,7 +24,7 @@ GEN=$(ls "$OUT"/hifigan/hifigan_gen_*.npz | tail -1)
 echo "== generator: $GEN =="
 
 RESULT="$CORPUS/output/result/LJSpeech_cm"
-for SRC in step_6000_T1 step_6000_T2 step_6000_T4; do
+for SRC in step_${CT_STEPS}_T1 step_${CT_STEPS}_T2 step_${CT_STEPS}_T4; do
   echo "== vocode CM mels: $SRC =="
   python tools/vocode_dir.py --mel_dir "$RESULT/$SRC" \
       --ckpt "$GEN" --out "$OUT/hifigan_$SRC"
@@ -44,7 +45,7 @@ python tools/vocode_dir.py --mel_dir "$OUT/gtmel" --ckpt "$GEN" \
     --out "$OUT/hifigan_gtmel"
 
 echo "== metrics (syn vs raw) =="
-for D in hifigan_step_6000_T1 hifigan_step_6000_T2 hifigan_step_6000_T4 hifigan_gtmel; do
+for D in hifigan_step_${CT_STEPS}_T1 hifigan_step_${CT_STEPS}_T2 hifigan_step_${CT_STEPS}_T4 hifigan_gtmel; do
   echo "-- $D --" | tee -a "$OUT/metrics.txt"
   python cli/all_metrics.py --single --syn_root "$OUT/$D" \
       --raw_folder "$CORPUS/raw/SYN" --data_type LJSpeech \
