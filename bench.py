@@ -22,8 +22,32 @@ import time
 
 import numpy as np
 
+# which weights the timed graph actually used (set by make_pipeline)
+WEIGHTS_USED = ["random-init"]
 
-def make_pipeline(T: int):
+
+def discover_checkpoint() -> str | None:
+    """Default to trained weights whenever a checkpoint exists (VERDICT
+    r3 weak #2): CMTTS_BENCH_CKPT wins; otherwise pick the highest-step
+    checkpoint left by the quality pipeline on this machine.  Restore is
+    try/except-guarded in make_pipeline so a stale/incompatible dir can
+    never kill the headline metric."""
+    ckpt = os.environ.get("CMTTS_BENCH_CKPT")
+    if ckpt:
+        return ckpt
+    import glob
+
+    for pattern in (
+            "/tmp/qcorp/output/ckpt/LJSpeech/CMDenoiserTTS/step_*",
+            os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                         "output/ckpt/LJSpeech/CMDenoiserTTS/step_*")):
+        steps = sorted(d for d in glob.glob(pattern) if os.path.isdir(d))
+        if steps:
+            return steps[-1]
+    return None
+
+
+def make_pipeline(T: int, B: int = 8):
     import jax
     import jax.numpy as jnp
 
@@ -36,26 +60,34 @@ def make_pipeline(T: int):
     model = CMTTS(cfg)
     rng = jax.random.PRNGKey(0)
 
-    B, T_TXT = 8, 96
+    T_TXT = 96
     tokens = np.stack([
         np.random.RandomState(i).randint(13, 140, T_TXT).astype(np.int32)
         for i in range(B)])
 
-    ckpt = os.environ.get("CMTTS_BENCH_CKPT")
+    ckpt = discover_checkpoint()
+    params = None
     if ckpt:
         # load trained weights (checkpoint role: target_model — the
         # one-step synthesis model, reference train_util.py:718-727) so
         # the timed graph pushes a REAL mel through the vocoder.  RTF is
         # weight-independent (identical compute graph), verified vs the
         # random-init default; see docs/ROUND3_NOTES.md.
-        from cmtts_tpu.train.checkpoint import (restore_checkpoint,
-                                                restore_payload_from_dir)
-        if os.path.basename(ckpt).startswith("step_"):
-            payload = restore_payload_from_dir(ckpt)
-        else:
-            payload = restore_checkpoint(ckpt)
-        params = jax.tree_util.tree_map(jnp.asarray, payload["target_model"])
-    else:
+        try:
+            from cmtts_tpu.train.checkpoint import (restore_checkpoint,
+                                                    restore_payload_from_dir)
+            if os.path.basename(ckpt).startswith("step_"):
+                payload = restore_payload_from_dir(ckpt)
+            else:
+                payload = restore_checkpoint(ckpt)
+            params = jax.tree_util.tree_map(jnp.asarray,
+                                            payload["target_model"])
+            WEIGHTS_USED[0] = f"trained(target_model:{ckpt})"
+        except Exception as e:
+            print(f"# bench: checkpoint restore failed ({e!r}); "
+                  "falling back to random init", flush=True)
+            params = None
+    if params is None:
         variables = model.init(
             {"params": rng, "dropout": rng},
             jnp.zeros((B, 128, cfg.stft.n_mel_channels)), jnp.zeros(B),
@@ -88,11 +120,24 @@ def make_pipeline(T: int):
     return cfg, synth, fn, base_args, B, mel_bucket
 
 
-def timed_rtf(T: int, n_iters: int = 20):
+def timed_rtf(T: int, n_iters: int = 20, B: int = 8):
     import jax
     import jax.numpy as jnp
 
-    cfg, synth, fn, a, B, mel_bucket = make_pipeline(T)
+    cfg, synth, fn, a, B, mel_bucket = make_pipeline(T, B)
+
+    # XLA-cost-model FLOPs of one fused text->mel->wav call (for MFU)
+    flops = None
+    try:
+        cost = fn.lower(
+            synth.cm_params, synth.vocoder_params, a["speakers"], a["texts"],
+            a["src_lens"], a["spker_embeds"], jax.random.PRNGKey(0),
+            1.0, 1.0, 1.0).compile().cost_analysis()
+        if isinstance(cost, (list, tuple)):
+            cost = cost[0]
+        flops = float(cost["flops"])
+    except Exception:
+        pass
 
     def step(carry, i):
         mel, mel_lens, wav = fn(
@@ -118,7 +163,14 @@ def timed_rtf(T: int, n_iters: int = 20):
     frames = int(np.asarray(mel_lens).sum())
     audio_sec = frames * cfg.stft.hop_length / cfg.stft.sampling_rate
     per_iter = elapsed / n_iters
-    return per_iter / audio_sec, frames / per_iter, audio_sec
+    mfu = None
+    if flops:
+        from tools.bench_train import device_peak_flops
+
+        peak = device_peak_flops()
+        if peak:
+            mfu = 100.0 * flops / per_iter / peak
+    return per_iter / audio_sec, frames / per_iter, audio_sec, mfu
 
 
 def main():
@@ -128,25 +180,33 @@ def main():
     enable_persistent_cache()
 
     t_start = time.perf_counter()
-    rtf1, fps1, audio_sec = timed_rtf(1)
+    rtf1, fps1, audio_sec, mfu1 = timed_rtf(1)
     extra = {
         "mel_frames_per_sec_per_chip_T1": fps1,
         "batch": 8,
         "audio_sec_per_iter": audio_sec,
         "compute_dtype": "bf16 denoiser / bf16-dot pallas vocoder",
         "device": str(jax.devices()[0]),
-        "weights": ("trained(target_model)"
-                    if os.environ.get("CMTTS_BENCH_CKPT") else "random-init"),
+        "weights": WEIGHTS_USED[0],
     }
-    # T=2/T=4 extras only if the T=1 pass left budget (each costs a fresh
-    # multi-minute compile through the dev tunnel)
+    if mfu1 is not None:
+        extra["synth_mfu_pct_T1_B8"] = round(mfu1, 2)
+    # T=2/T=4 and B=1-latency extras only if the T=1 pass left budget
+    # (each costs a fresh multi-minute compile through the dev tunnel)
     budget_s = float(__import__("os").environ.get("BENCH_BUDGET_S", "900"))
+    if time.perf_counter() - t_start < budget_s / 3:
+        # B=1 end-to-end latency RTF — the latency-bound serving shape
+        # (VERDICT r3 weak #2); same fused graph, batch 1
+        rtf1b1, fps1b1, audio1b1, _ = timed_rtf(1, n_iters=20, B=1)
+        extra["rtf_T1_B1"] = rtf1b1
+        extra["latency_ms_T1_B1"] = rtf1b1 * audio1b1 * 1000.0
+        extra["audio_sec_B1"] = audio1b1
     if time.perf_counter() - t_start < budget_s / 2:
-        rtf2, fps2, _ = timed_rtf(2, n_iters=8)
+        rtf2, fps2, _, _ = timed_rtf(2, n_iters=8)
         extra["rtf_T2"] = rtf2
         extra["mel_frames_per_sec_per_chip_T2"] = fps2
         if time.perf_counter() - t_start < 3 * budget_s / 4:
-            rtf4, fps4, _ = timed_rtf(4, n_iters=8)
+            rtf4, fps4, _, _ = timed_rtf(4, n_iters=8)
             extra["rtf_T4"] = rtf4
             extra["mel_frames_per_sec_per_chip_T4"] = fps4
 
@@ -174,6 +234,9 @@ def main():
                     extra["train_steps_per_sec_b32x768_bf16_K8"] = \
                         d["steps_per_sec"]
                     extra["train_ms_per_step"] = d["ms_per_step"]
+                    if "mfu_pct" in d:
+                        extra["train_mfu_pct"] = d["mfu_pct"]
+                        extra["train_flops_per_step"] = d["flops_per_step"]
         except Exception as e:  # never let the extra kill the headline
             extra["train_bench_error"] = str(e)[:200]
 

@@ -63,6 +63,11 @@ class KarrasSchedule:
         lo = self.sigma_min ** (1.0 / self.rho)
         hi = self.sigma_max ** (1.0 / self.rho)
         t = (hi + jnp.asarray(ts, jnp.float32) / (steps - 1) * (lo - hi)) ** self.rho
+        # parity note: the reference clips only the NEXT level
+        # (karras_diffusion.py:851, `np.clip(next_t, t_min, t_max)`);
+        # clipping the whole grid is a superset with no behavioral
+        # difference for any shipped ts (t0 = sigma_max is in range by
+        # construction, and every later level lies strictly inside).
         return jnp.clip(t, self.sigma_min, self.sigma_max)
 
 

@@ -209,8 +209,10 @@ class Synthesizer:
         """Returns (mel (B,L,80) np, mel_lens np, wav np or None).
 
         Token sequences are bucket-padded host-side; the mel bucket is
-        either given or estimated from text length (phonemes average
-        ~6 frames each at 22.05 kHz/256 hop; clamp to max_seq_len).
+        either given or estimated as 10 frames per phoneme — a deliberate
+        headroom margin over the ~6-frame LJSpeech average so predicted
+        durations rarely overflow the bucket (overflow truncates, matching
+        the reference's max_seq_len clamp); clamp to max_seq_len.
         """
         B = len(token_seqs)
         max_txt = max(len(t) for t in token_seqs)

@@ -81,6 +81,18 @@ def run_http(url: str, concurrency: int, n_requests: int, timeout: float):
     return latencies, errors, wall
 
 
+def fetch_batch_hist(url: str) -> dict | None:
+    """Server-side coalescing evidence: GET /healthz batch_hist."""
+    import urllib.request
+
+    try:
+        with urllib.request.urlopen(url.rstrip("/") + "/healthz",
+                                    timeout=30) as r:
+            return json.load(r).get("batch_hist")
+    except Exception:
+        return None
+
+
 def run_inprocess(service, concurrency: int, n_requests: int):
     latencies, errors = [], []
     lock = threading.Lock()
@@ -168,6 +180,7 @@ def main():
 
     rows = []
     for c in args.concurrency:
+        hist_before = fetch_batch_hist(args.url) if args.url else None
         if args.inprocess:
             lat, errs, wall = run_inprocess(service, c, args.requests)
         else:
@@ -184,6 +197,16 @@ def main():
         if service is not None:
             row["batch_hist"] = dict(service.batch_hist)
             service.batch_hist.clear()
+        elif args.url:
+            # per-sweep delta of the server's cumulative histogram —
+            # proves the coalescing happened during THIS sweep
+            hist_after = fetch_batch_hist(args.url)
+            if hist_after is not None:
+                before = hist_before or {}
+                row["batch_hist"] = {
+                    k: v - before.get(k, 0)
+                    for k, v in sorted(hist_after.items())
+                    if v - before.get(k, 0) > 0}
         rows.append(row)
         print(json.dumps(row))
     if errs := [r for r in rows if r["errors"]]:

@@ -18,6 +18,40 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import numpy as np
 
 
+def device_peak_flops() -> float | None:
+    """Per-chip peak matmul FLOP/s for the MFU denominator.
+
+    bf16 systolic-array peaks (public TPU specs); override with
+    CMTTS_PEAK_FLOPS for other hardware.  Returns None when unknown so
+    the bench still reports raw FLOPs without a bogus MFU.
+    """
+    env = os.environ.get("CMTTS_PEAK_FLOPS")
+    if env:
+        return float(env)
+    import jax
+
+    kind = jax.devices()[0].device_kind.lower()
+    table = (("v5 lite", 197e12), ("v5e", 197e12), ("v5p", 459e12),
+             ("v4", 275e12), ("v6", 918e12), ("v3", 123e12), ("v2", 46e12))
+    for key, peak in table:
+        if key in kind:
+            return peak
+    return None
+
+
+def compiled_flops(jitted, *args) -> float | None:
+    """FLOPs of one call from XLA's own cost model
+    (``lowered.compile().cost_analysis()``) — machine-checked, not a
+    hand count.  Lowering does not execute, so donated buffers survive."""
+    try:
+        cost = jitted.lower(*args).compile().cost_analysis()
+        if isinstance(cost, (list, tuple)):  # older JAX returned [dict]
+            cost = cost[0]
+        return float(cost["flops"])
+    except Exception:
+        return None
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--K", type=int, default=8)
@@ -110,6 +144,10 @@ def main():
         else:
             b, ema = batch, jnp.asarray(0.95)
         n_calls = max(args.iters // K, 2)
+        # XLA-cost-model FLOPs for the whole dispatch (K steps) -> per-step
+        flops_call = compiled_flops(step, state, b, probs,
+                                    jax.random.PRNGKey(1), ema)
+        flops_step = flops_call / K if flops_call else None
         # warmup/compile
         state, m = step(state, b, probs, jax.random.PRNGKey(1), ema)
         float(np.mean(np.asarray(m["loss"])))
@@ -123,6 +161,12 @@ def main():
         results[f"K{K}"] = dict(steps_per_sec=round(sps, 2),
                                 ms_per_step=round(1000 / sps, 1),
                                 loss=round(loss, 3))
+        if flops_step:
+            results[f"K{K}"]["flops_per_step"] = flops_step
+            peak = device_peak_flops()
+            if peak:
+                results[f"K{K}"]["mfu_pct"] = round(
+                    100.0 * flops_step * sps / peak, 2)
         print(json.dumps({"config": f"K={K}", "batch": B, "t_mel": T_mel,
                           "dtype": "f32" if args.f32 else "bf16",
                           "unroll": args.unroll,

@@ -1,0 +1,143 @@
+"""Assemble QUALITY_r04.json from the round-4 executed-evidence runs.
+
+Inputs (all produced by tools/round4_queue.sh):
+- $CORPUS/metrics_ct_gl.txt      CT @ CT_STEPS, Griffin-Lim, T=1/2/4
+- $VOC_OUT/metrics.txt           the SAME CT mels re-vocoded with the
+                                 in-repo-trained HiFi-GAN + the GT-mel
+                                 vocoder floor (tools/run_vocoder_quality.sh)
+- $CORPUS/metrics_cd_gl.txt      consistency distillation (teacher = the
+                                 CT checkpoint), Griffin-Lim, T=1/2/4
+- /tmp/r4_logs/abl_*.log         schedule-sampler ablation
+                                 (uniform / linear12 / loss-second-moment)
+- $ZS_OUT/zs_eval_*.json         zero-shot identity-transfer scores
+- $CORPUS/output/log/.../progress.csv  training-loss trajectory
+
+Usage: python tools/collect_quality_r04.py [--out QUALITY_r04.json]
+Missing inputs are recorded as absent, never fatal — the artifact says
+what ran.
+"""
+
+from __future__ import annotations
+
+import argparse
+import csv
+import glob
+import json
+import os
+import re
+
+
+def parse_metrics_txt(path: str) -> dict[str, dict[str, float]]:
+    """Sections '-- <name> --' followed by 'metric: value' lines."""
+    if not os.path.isfile(path):
+        return {}
+    out: dict[str, dict[str, float]] = {}
+    section = None
+    for line in open(path):
+        line = line.strip()
+        m = re.match(r"^--\s*(.+?)\s*--$", line)
+        if m:
+            section = m.group(1)
+            out.setdefault(section, {})
+            continue
+        m = re.match(r"^([a-z0-9_]+):\s*(-?\d+(?:\.\d+)?)$", line)
+        if m and section:
+            out[section][m.group(1)] = float(m.group(2))
+    return out
+
+
+def parse_metrics_tail(path: str) -> dict[str, float]:
+    """Last 'metric: value' block of an ablation log."""
+    if not os.path.isfile(path):
+        return {}
+    vals: dict[str, float] = {}
+    for line in open(path):
+        m = re.match(r"^([a-z0-9_]+):\s*(-?\d+(?:\.\d+)?)$", line.strip())
+        if m:
+            vals[m.group(1)] = float(m.group(2))
+    return vals
+
+
+def loss_trajectory(corpus: str) -> dict:
+    pats = glob.glob(os.path.join(
+        corpus, "output/log/LJSpeech_cm*/train/progress.csv"))
+    if not pats:
+        return {}
+    rows = list(csv.DictReader(open(sorted(pats)[0])))
+    if not rows:
+        return {}
+
+    def pick(r):
+        return {"step": int(float(r.get("step", 0))),
+                "loss": float(r.get("loss", "nan"))}
+
+    idxs = sorted({0, len(rows) // 4, len(rows) // 2,
+                   3 * len(rows) // 4, len(rows) - 1})
+    return {"samples": [pick(rows[i]) for i in idxs]}
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--corpus", default="/tmp/qcorp")
+    ap.add_argument("--voc_out", default="/tmp/voc_run")
+    ap.add_argument("--zs_out", default="/tmp/zs_run")
+    ap.add_argument("--abl_logs", default="/tmp/r4_logs")
+    ap.add_argument("--ct_steps", type=int,
+                    default=int(os.environ.get("CT_STEPS", "20000")))
+    ap.add_argument("--out", default="QUALITY_r04.json")
+    args = ap.parse_args()
+
+    artifact: dict = {
+        "round": 4,
+        "protocol": (
+            "QUALITY_r03 protocol extended per VERDICT r3: parametric "
+            "formant corpus (400 utt, 16 held-out) -> cli/preprocess.py -> "
+            f"CT training {args.ct_steps} steps bf16 K=8 on one TPU v5e "
+            "chip -> T=1/2/4 synthesis of the held-out val set -> in-repo "
+            "MCD/FFE/SSIM/F0 metrics. New this round: the SAME CM mels "
+            "re-vocoded by an in-repo-trained HiFi-GAN (vocoder "
+            "isolation), a consistency-distillation leg (teacher = the CT "
+            "checkpoint), a schedule-sampler ablation, and the zero-shot "
+            "identity leg."),
+        "caveat": (
+            "All quality numbers are measured on a SYNTHETIC parametric "
+            "formant corpus (cmtts_tpu/data/synthcorpus.py) — no real "
+            "speech corpora exist in this environment. "
+            "Coarticulation/breath/noise robustness of the preprocessor "
+            "and f0 tracker are therefore NOT exercised; cross-system "
+            "comparisons against the reference's published "
+            "LJSpeech/VCTK numbers are directional, not like-for-like."),
+    }
+
+    ct = parse_metrics_txt(os.path.join(args.corpus, "metrics_ct_gl.txt"))
+    artifact["ct_griffinlim"] = ct or "absent"
+
+    voc = parse_metrics_txt(os.path.join(args.voc_out, "metrics.txt"))
+    artifact["ct_hifigan"] = voc or "absent"
+
+    cd = parse_metrics_txt(os.path.join(args.corpus, "metrics_cd_gl.txt"))
+    artifact["cd_griffinlim"] = cd or "absent"
+
+    abl = {}
+    for name, tag in (("uniform", "abl_uniform"), ("linear12", "abl_linear12"),
+                      ("loss-second-moment", "abl_lsm")):
+        vals = parse_metrics_tail(os.path.join(args.abl_logs, f"{tag}.log"))
+        if vals:
+            abl[name] = vals
+    artifact["sampler_ablation_6k_T1"] = abl or "absent"
+
+    zs = {}
+    for p in sorted(glob.glob(os.path.join(args.zs_out, "zs_eval_*.json"))):
+        spk = os.path.basename(p)[len("zs_eval_"):-len(".json")]
+        zs[spk] = json.load(open(p))
+    artifact["zeroshot"] = zs or "absent"
+
+    artifact["train_loss_trajectory"] = loss_trajectory(args.corpus)
+
+    with open(args.out, "w") as f:
+        json.dump(artifact, f, indent=1)
+    print(f"wrote {args.out}")
+
+
+if __name__ == "__main__":
+    main()
