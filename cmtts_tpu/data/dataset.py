@@ -32,7 +32,17 @@ from cmtts_tpu.text import text_to_sequence
 
 class FeatureDataset:
     def __init__(self, filename: str, cfg: Config, sort: bool = True,
-                 drop_last: bool = True):
+                 drop_last: bool = True, cache_in_ram: bool | None = None):
+        """``cache_in_ram`` keeps assembled samples (post np.load /
+        text_to_sequence / f0-interp) in memory after first access — the
+        training loop re-reads the whole corpus every epoch, and on a
+        host with few cores the per-epoch reload becomes the train-step
+        feed bottleneck (device idles).  Safe because collate_batch never
+        mutates sample arrays (pad_to/np.stack copy).  Default: auto —
+        on when the corpus is at most CMTTS_DATA_CACHE_MAX samples
+        (16384 ≈ 4 GB for LJSpeech-scale features), off otherwise.
+        The reference has no equivalent (its DataLoader re-reads npy
+        files per epoch, reference dataset.py:47-137)."""
         self.cfg = cfg
         self.root = cfg.data.preprocessed_path
         self.cleaners = list(cfg.data.text_cleaners)
@@ -46,6 +56,11 @@ class FeatureDataset:
             self._process_meta(os.path.join(self.root, filename))
         with open(os.path.join(self.root, "speakers.json")) as f:
             self.speaker_map = json.load(f)
+
+        if cache_in_ram is None:
+            cache_in_ram = len(self.text) <= int(
+                os.environ.get("CMTTS_DATA_CACHE_MAX", "16384"))
+        self._ram: dict[int, dict] | None = {} if cache_in_ram else None
 
     @staticmethod
     def _process_meta(path: str):
@@ -74,11 +89,22 @@ class FeatureDataset:
 
     def get_many(self, indices) -> list[dict]:
         """Load several samples with the native parallel npy loader
-        (falls back to serial __getitem__)."""
+        (falls back to serial __getitem__); RAM-cached when enabled."""
+        if self._ram is not None:
+            missing = [i for i in indices if i not in self._ram]
+            if missing:
+                for i, s in zip(missing, self._load_many(missing)):
+                    self._ram[i] = s
+            # shallow dict copy: callers may add keys, arrays are shared
+            # and never mutated downstream (collate_batch copies)
+            return [dict(self._ram[i]) for i in indices]
+        return self._load_many(indices)
+
+    def _load_many(self, indices) -> list[dict]:
         from cmtts_tpu.data.native_loader import NativeNpyLoader, native_available
 
         if not native_available():
-            return [self[i] for i in indices]
+            return [self._load_one(i) for i in indices]
         if not hasattr(self, "_native"):
             self._native = NativeNpyLoader()
         kinds = list(self._BULK_KINDS)
@@ -127,6 +153,13 @@ class FeatureDataset:
         return sample
 
     def __getitem__(self, idx: int) -> dict:
+        if self._ram is not None:
+            if idx not in self._ram:
+                self._ram[idx] = self._load_one(idx)
+            return dict(self._ram[idx])
+        return self._load_one(idx)
+
+    def _load_one(self, idx: int) -> dict:
         basename = self.basename[idx]
         speaker = self.speaker[idx]
         phone = np.asarray(

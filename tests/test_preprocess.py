@@ -131,6 +131,41 @@ def test_feature_dataset_and_batching(mini_config):
     assert batches[0]["texts"].shape[0] == 1
 
 
+def test_feature_dataset_ram_cache(mini_config):
+    """Cached samples == uncached samples; after the first pass the
+    cache serves without touching the loaders at all."""
+    cfg = mini_config
+    cold = FeatureDataset("train.txt", cfg, cache_in_ram=False)
+    warm = FeatureDataset("train.txt", cfg, cache_in_ram=True)
+
+    def assert_same(a, b):
+        assert a.keys() == b.keys()
+        for k, v in a.items():
+            if isinstance(v, np.ndarray):
+                np.testing.assert_array_equal(v, b[k])
+            else:
+                assert v == b[k]
+
+    for i in range(len(cold)):
+        assert_same(cold[i], warm[i])
+    for a, b in zip(cold.get_many([0, 1]), warm.get_many([0, 1])):
+        assert_same(a, b)
+
+    # cache must now serve without any loading
+    def boom(*a, **k):
+        raise AssertionError("loader touched after cache warm")
+
+    warm._load_one = boom
+    warm._load_many = boom
+    assert_same(cold[0], warm[0])
+    for a, b in zip(cold.get_many([1, 0]), warm.get_many([1, 0])):
+        assert_same(a, b)
+    # returned dicts are fresh per call (callers may add keys)
+    s1 = warm[0]
+    s1["extra"] = 1
+    assert "extra" not in warm[0]
+
+
 def test_speaker_embedding_tsne_plot(tmp_path):
     """t-SNE speaker-embedding scatter parity hook (reference
     preprocessor.py:220-225 + utils/tools.py:630-648)."""
