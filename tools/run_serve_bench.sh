@@ -1,0 +1,62 @@
+#!/usr/bin/env bash
+# On-chip serving load benchmark (VERDICT r3 next #7): start cli/serve.py
+# against the quality-run checkpoint, sweep concurrency with
+# tools/bench_serve.py, write SERVE_r04.json (latency percentiles,
+# throughput, and the /healthz batch-histogram delta proving micro-batch
+# coalescing), then shut the server down.
+#
+#   CORPUS=/tmp/qcorp STEP=20000 OUT=SERVE_r04.json bash tools/run_serve_bench.sh
+set -uo pipefail
+cd "$(dirname "$0")/.."
+
+CORPUS=${CORPUS:-/tmp/qcorp}
+STEP=${STEP:-20000}
+PORT=${PORT:-18321}
+OUT=${OUT:-SERVE_r04.json}
+VOC=${VOC:-griffinlim}            # or: hifigan + VOC_CKPT=<npz>
+LOG=/tmp/serve_bench.log
+
+args=(--dataset LJSpeech --config_root "$CORPUS/config" \
+      --restore_step "$STEP" --params_role target_model \
+      --vocoder "$VOC" --port "$PORT" --warmup_all \
+      --max_batch 8 --batch_window_ms 20)
+[ -n "${VOC_CKPT:-}" ] && args+=(--vocoder_ckpt "$VOC_CKPT")
+
+python cli/serve.py "${args[@]}" > "$LOG" 2>&1 &
+SRV=$!
+trap 'kill $SRV 2>/dev/null' EXIT
+
+echo "== waiting for server (pid $SRV) to warm up =="
+for i in $(seq 1 180); do
+  if curl -s -m 2 "http://127.0.0.1:$PORT/healthz" >/dev/null 2>&1; then
+    echo "== server up after ~$((i * 5))s =="
+    break
+  fi
+  if ! kill -0 $SRV 2>/dev/null; then
+    echo "server died; log tail:"; tail -20 "$LOG"; exit 1
+  fi
+  sleep 5
+done
+
+python tools/bench_serve.py --url "http://127.0.0.1:$PORT" \
+    --concurrency 1 2 4 8 --requests 32 --out /tmp/serve_rows.json
+
+python - "$OUT" <<'EOF'
+import json, sys, os
+rows = json.load(open("/tmp/serve_rows.json"))
+json.dump({
+  "round": 4,
+  "protocol": ("cli/serve.py on the real chip (target_model role of the "
+               "round-4 quality checkpoint, T=1, batch_window_ms=20, "
+               "max_batch=8) driven by tools/bench_serve.py: 32 requests "
+               "per concurrency level over live HTTP; batch_hist is the "
+               "server-reported per-sweep coalescing histogram"),
+  "device": "TPU v5e (1 chip)",
+  "sweep": rows,
+}, open(sys.argv[1], "w"), indent=1)
+print("wrote", sys.argv[1])
+EOF
+
+kill $SRV 2>/dev/null
+wait $SRV 2>/dev/null
+echo "== serve bench done =="
