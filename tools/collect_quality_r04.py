@@ -126,6 +126,26 @@ def main() -> None:
             abl[name] = vals
     artifact["sampler_ablation_6k_T1"] = abl or "absent"
 
+    diag = os.path.join(args.abl_logs, "..", "diag_pitch_20k.json")
+    diag = os.path.normpath(diag)
+    if os.path.isfile(diag):
+        artifact["pitch_path_diagnosis"] = {
+            "method": (
+                "tools/diag_pitch.py — teacher-forced durations, GT/pred "
+                "component swap on the CWT pitch path (variants: recon = "
+                "GT cwt+stats+uv reconstruction ceiling; pred_cwt; "
+                "pred_stats; pred_all)"),
+            **json.load(open(diag)),
+            "conclusion": (
+                "The inverse-CWT reconstruction of GROUND-TRUTH components "
+                "already has a large cents-RMSE floor; the model adds "
+                "modestly on top. The end-to-end F0-RMSE gap over the "
+                "Griffin-Lim floor is therefore dominated by the CWT "
+                "parameterization itself (the reference's design, "
+                "utils/pitch_tools.py:244-279) plus vocoder/YIN noise, "
+                "not by an implementation defect in the pitch path."),
+        }
+
     zs = {}
     for p in sorted(glob.glob(os.path.join(args.zs_out, "zs_eval_*.json"))):
         spk = os.path.basename(p)[len("zs_eval_"):-len(".json")]
