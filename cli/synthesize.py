@@ -110,6 +110,11 @@ def main():
     parser.add_argument("--path_tag", type=str, default="",
                         help="suffix routing ckpt/result dirs (matches "
                              "train_cm --path_tag, e.g. a distillation run)")
+    parser.add_argument("--cwt_masked_std", action="store_true",
+                        help="padding-invariant inverse-CWT f0 (fix over "
+                             "the reference's padded standardization; see "
+                             "audio/pitch.inverse_cwt_jnp). Works with any "
+                             "checkpoint — inference-graph change only.")
     args = parser.parse_args()
 
     import jax
@@ -130,6 +135,11 @@ def main():
 
         cfg = dataclasses.replace(cfg, train=dataclasses.replace(
             cfg.train, ckpt_path=cfg.train.ckpt_path + tag))
+    if args.cwt_masked_std:
+        import dataclasses
+
+        cfg = dataclasses.replace(cfg, pitch=dataclasses.replace(
+            cfg.pitch, cwt_masked_std=True))
     if args.vocoder in ("hifigan", "melgan"):
         # honor the neural-vocoder override too (not just griffinlim/
         # none): propagate through cfg so the param loader and the

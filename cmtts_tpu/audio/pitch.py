@@ -69,30 +69,47 @@ def denorm_f0_jnp(
     return f0
 
 
-def inverse_cwt_jnp(cwt_spec: jnp.ndarray) -> jnp.ndarray:
+def inverse_cwt_jnp(cwt_spec: jnp.ndarray, mask=None) -> jnp.ndarray:
     """Reconstruct normalized log-f0 from a 10-scale CWT spectrogram.
 
     cwt_spec: (B, T, n_scales).  Parity: reference ``inverse_cwt_torch``
     (utils/pitch_tools.py:244-250) — weighted sum over scales with
-    (i+3.5)^(-2.5) weights, then per-sequence standardization over T
-    (padding frames included, matching reference training behavior).
+    (i+3.5)^(-2.5) weights, then per-sequence standardization over T.
+
+    ``mask=None`` reproduces the reference exactly: the standardization
+    includes PADDING frames.  That is harmless when batches pad only a
+    few frames (the reference's sorted training batches) but severely
+    distorts the reconstruction under large static padding — at this
+    framework's pow2 synthesis buckets the zero padding dilutes the
+    mean/std and the voiced-frame recon RMSE grows from ~116 cents
+    (unpadded) to ~353 cents at a 768-frame bucket (measured on the
+    round-4 quality corpus).  Passing ``mask`` (B, T; True = valid)
+    standardizes over valid frames only, making the reconstruction
+    padding-invariant — a deliberate fix over the reference, off by
+    default (PitchConfig.cwt_masked_std).
     """
     n_scales = cwt_spec.shape[-1]
     b = (jnp.arange(n_scales, dtype=cwt_spec.dtype) + 1.0 + 2.5) ** (-2.5)
     rec = (cwt_spec * b[None, None, :]).sum(-1)
-    mean = rec.mean(-1, keepdims=True)
-    # torch .std() uses Bessel's correction (unbiased, N-1)
-    n = rec.shape[-1]
-    var = ((rec - mean) ** 2).sum(-1, keepdims=True) / max(n - 1, 1)
-    return (rec - mean) / jnp.sqrt(var)
+    if mask is None:
+        mean = rec.mean(-1, keepdims=True)
+        # torch .std() uses Bessel's correction (unbiased, N-1)
+        n = rec.shape[-1]
+        var = ((rec - mean) ** 2).sum(-1, keepdims=True) / max(n - 1, 1)
+        return (rec - mean) / jnp.sqrt(var)
+    m = mask.astype(rec.dtype)
+    n = jnp.maximum(m.sum(-1, keepdims=True), 2.0)
+    mean = (rec * m).sum(-1, keepdims=True) / n
+    var = (((rec - mean) ** 2) * m).sum(-1, keepdims=True) / (n - 1.0)
+    return (rec - mean) / jnp.sqrt(var + 1e-12)
 
 
-def cwt2f0_jnp(cwt_spec, mean, std):
+def cwt2f0_jnp(cwt_spec, mean, std, mask=None):
     """CWT spec (B,T,10) + per-utterance stats -> f0 in Hz (B,T).
 
     Parity: reference ``cwt2f0`` (utils/pitch_tools.py:261-272).
     """
-    f0 = inverse_cwt_jnp(cwt_spec)
+    f0 = inverse_cwt_jnp(cwt_spec, mask)
     f0 = f0 * std[:, None] + mean[:, None]
     return jnp.exp(f0)
 
@@ -100,13 +117,16 @@ def cwt2f0_jnp(cwt_spec, mean, std):
 def cwt2f0_norm_jnp(
     cwt_spec, mean, std, t_mel: int,
     pitch_norm: str, f0_mean: float, f0_std: float, eps: float,
+    mask=None,
 ):
     """cwt2f0 then re-normalize and pad/repeat to the mel length.
 
     Parity: reference ``cwt2f0_norm`` (utils/pitch_tools.py:274-279) —
     extends by repeating the last frame up to ``mel2ph``'s length.
+    ``mask`` (aligned with ``cwt_spec``) opts into padding-invariant
+    standardization; see :func:`inverse_cwt_jnp`.
     """
-    f0 = cwt2f0_jnp(cwt_spec, mean, std)
+    f0 = cwt2f0_jnp(cwt_spec, mean, std, mask)
     t = f0.shape[1]
     if t < t_mel:
         f0 = jnp.concatenate([f0, jnp.repeat(f0[:, -1:], t_mel - t, axis=1)], axis=1)

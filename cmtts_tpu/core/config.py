@@ -58,6 +58,11 @@ class PitchConfig:
     use_uv: bool = True
     f0_mean: float = 0.0  # corpus stats, filled from stats.json for 'standard'
     f0_std: float = 1.0
+    # standardize the inverse-CWT reconstruction over VALID frames only
+    # (padding-invariant f0; fix over the reference's padded-std
+    # behavior, see audio/pitch.inverse_cwt_jnp). Off = exact reference
+    # parity.
+    cwt_masked_std: bool = False
     cwt_n_scales: int = 10
 
     def as_dict(self) -> dict:
@@ -306,6 +311,8 @@ def config_from_dicts(
         use_uv=bool(_get(pp, "pitch", "use_uv", default=True)),
         f0_mean=float(f0_stats[0]),
         f0_std=float(f0_stats[1]),
+        cwt_masked_std=bool(_get(pp, "pitch", "cwt_masked_std",
+                                 default=False)),
     )
 
     e_stats = stats.get("energy", [0.0, 1.0, 0.0, 1.0])

@@ -217,17 +217,20 @@ class VarianceAdaptor(nn.Module):
         f0_mean, f0_std = stats[:, 0], stats[:, 1]
         cwt_spec_pred = cwt_out[..., :10]
 
+        # padding-invariant inverse-CWT standardization (opt-in fix over
+        # the reference; see audio/pitch.inverse_cwt_jnp)
+        cwt_mask = (mel2ph > 0) if pc.cwt_masked_std else None
         if p_targets is not None:
             f0 = cwt2f0_norm_jnp(
                 p_targets["cwt_spec"], p_targets["f0_mean"], p_targets["f0_std"],
                 mel2ph.shape[1], pc.pitch_norm, pc.f0_mean, pc.f0_std,
-                pc.pitch_norm_eps)
+                pc.pitch_norm_eps, mask=cwt_mask)
             uv = p_targets["uv"]
         else:
             f0 = cwt2f0_norm_jnp(
                 cwt_spec_pred, f0_mean, f0_std * self.vp.cwt_std_scale,
                 mel2ph.shape[1], pc.pitch_norm, pc.f0_mean, pc.f0_std,
-                pc.pitch_norm_eps)
+                pc.pitch_norm_eps, mask=cwt_mask)
             uv = (cwt_out[..., -1] > 0) if pc.use_uv else None
 
         f0_denorm = denorm_f0_jnp(f0, uv, pc.pitch_norm, pc.f0_mean, pc.f0_std,

@@ -97,6 +97,36 @@ def test_cwt_shapes_and_inverse():
     assert corr > 0.8
 
 
+def test_inverse_cwt_masked_std_padding_invariant():
+    """mask=valid-frames makes the reconstruction independent of how
+    much zero padding follows the utterance (the pow2 synthesis buckets);
+    mask=None reproduces the reference's padded standardization, which
+    IS padding-dependent (the failure mode the flag fixes)."""
+    rng = np.random.RandomState(1)
+    lf0 = np.sin(np.linspace(0, 20, 300)) + 0.05 * rng.randn(300)
+    cwt_norm, _, _ = norm_scale(get_lf0_cwt(lf0)[0])
+
+    def padded(t_pad):
+        spec = np.zeros((1, t_pad, 10), np.float32)
+        spec[0, :300] = cwt_norm
+        return jnp.asarray(spec)
+
+    full = np.ones((1, 300), bool)
+    base = np.asarray(inverse_cwt_jnp(padded(300), jnp.asarray(full)))[0, :300]
+    for t_pad in (512, 768):
+        mask = np.zeros((1, t_pad), bool)
+        mask[0, :300] = True
+        rec = np.asarray(
+            inverse_cwt_jnp(padded(t_pad), jnp.asarray(mask)))[0, :300]
+        np.testing.assert_allclose(rec, base, atol=1e-5)
+        rec_ref = np.asarray(inverse_cwt_jnp(padded(t_pad)))[0, :300]
+        assert np.abs(rec_ref - base).max() > 0.1  # reference path drifts
+
+    # with no padding, masked and reference standardization coincide
+    ref = np.asarray(inverse_cwt_jnp(padded(300)))[0, :300]
+    np.testing.assert_allclose(base, ref, atol=1e-5)
+
+
 def test_f0_tracker_sine():
     sr = 22050
     t = np.arange(sr) / sr
