@@ -110,6 +110,9 @@ def main():
     parser.add_argument("--path_tag", type=str, default="",
                         help="suffix routing ckpt/result dirs (matches "
                              "train_cm --path_tag, e.g. a distillation run)")
+    parser.add_argument("--tag", type=str, default="",
+                        help="suffix on the result dir only (step_N_T1_<tag>) "
+                             "for A/B runs against the same checkpoint")
     parser.add_argument("--cwt_masked_std", action="store_true",
                         help="padding-invariant inverse-CWT f0 (fix over "
                              "the reference's padded standardization; see "
@@ -172,8 +175,10 @@ def main():
 
     synth = Synthesizer(cfg, params, voc_params, T=args.T,
                         vocoder_name=cfg.model.vocoder_model)
-    out_dir = os.path.join(cfg.train.result_path + "_cm" + tag,
-                           f"step_{args.restore_step}_T{args.T}")
+    out_dir = os.path.join(
+        cfg.train.result_path + "_cm" + tag,
+        f"step_{args.restore_step}_T{args.T}"
+        + (f"_{args.tag}" if args.tag else ""))
     os.makedirs(out_dir, exist_ok=True)
 
     def run_batch(ids, tokens, speakers, spker_embeds):

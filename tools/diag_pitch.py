@@ -46,6 +46,9 @@ def main() -> None:
     ap.add_argument("--params_role", default="target_model")
     ap.add_argument("--split", default="val.txt")
     ap.add_argument("--out", default=None, help="optional JSON output path")
+    ap.add_argument("--cwt_masked_std", action="store_true",
+                    help="diagnose with padding-invariant inverse-CWT "
+                         "standardization (PitchConfig.cwt_masked_std)")
     args = ap.parse_args()
 
     import jax
@@ -58,6 +61,11 @@ def main() -> None:
     from cmtts_tpu.train.checkpoint import restore_checkpoint
 
     cfg = load_configs(args.dataset, args.config_root)
+    if args.cwt_masked_std:
+        import dataclasses
+
+        cfg = dataclasses.replace(cfg, pitch=dataclasses.replace(
+            cfg.pitch, cwt_masked_std=True))
     payload = restore_checkpoint(cfg.train.ckpt_path, args.restore_step or None)
     params = payload[args.params_role]
     model = CMTTS(cfg)
@@ -107,11 +115,15 @@ def main() -> None:
         pr_cwt = p_pred["cwt"][..., :10]
         pr_uv = (p_pred["cwt"][..., -1] > 0).astype(np.float32)
 
+        valid_mask = (np.arange(t_mel)[None, :]
+                      < np.asarray(clean["mel_lens"])[:, None])
+
         def norm_from(cwt, mean, std):
+            mask = jnp.asarray(valid_mask) if args.cwt_masked_std else None
             return np.asarray(cwt2f0_norm_jnp(
                 jnp.asarray(cwt), jnp.asarray(mean), jnp.asarray(std),
                 t_mel, pc.pitch_norm, pc.f0_mean, pc.f0_std,
-                pc.pitch_norm_eps))
+                pc.pitch_norm_eps, mask=mask))
 
         hz = {
             "recon": f0_hz(norm_from(pt["cwt_spec"], gt_mean, gt_std), gt_uv),
