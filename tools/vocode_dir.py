@@ -30,6 +30,7 @@ def main():
     ap.add_argument("--griffinlim", action="store_true")
     ap.add_argument("--n_mels", type=int, default=80)
     ap.add_argument("--sr", type=int, default=22050)
+    ap.add_argument("--hop", type=int, default=256)
     args = ap.parse_args()
     if (args.ckpt is None) == (not args.griffinlim):
         ap.error("exactly one of --ckpt / --griffinlim")
@@ -37,7 +38,9 @@ def main():
     import jax.numpy as jnp
 
     from cmtts_tpu.audio.wavio import write_wav
+    from cmtts_tpu.core.cache import enable_persistent_cache
 
+    enable_persistent_cache()
     os.makedirs(args.out, exist_ok=True)
 
     if args.griffinlim:
@@ -60,7 +63,22 @@ def main():
             upsample_initial_channel=width))
         params = jax.tree_util.tree_map(jnp.asarray, params)
         apply = jax.jit(lambda m: gen.apply({"params": params}, m))
-        vocode = lambda mel: np.asarray(apply(jnp.asarray(mel)[None]))[0]
+        hop = args.hop  # front-end contract (audio/stft.py)
+
+        def vocode(mel):
+            # pad frames up to a multiple of 64 so the jit (and the
+            # persistent XLA cache across invocations) sees a handful of
+            # shapes instead of one per utterance — each unique shape is
+            # a multi-minute compile through the dev tunnel. Pad with
+            # the ln-mel silence floor; output trimmed to the true
+            # length (conv edge effects die within the receptive field).
+            t = mel.shape[0]
+            t_pad = -(-t // 64) * 64
+            if t_pad != t:
+                mel = np.pad(mel, ((0, t_pad - t), (0, 0)),
+                             constant_values=float(np.log(1e-5)))
+            wav = np.asarray(apply(jnp.asarray(mel)[None]))[0]
+            return wav[: t * hop]
 
     n = 0
     for name in sorted(os.listdir(args.mel_dir)):
