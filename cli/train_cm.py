@@ -60,6 +60,12 @@ def main():
                              "(reference resample.py:26-43 names) — used "
                              "for sampler ablations without editing the "
                              "config")
+    parser.add_argument("--cwt_masked_std", action="store_true",
+                        help="padding-invariant inverse-CWT f0 in the "
+                             "variance adaptor (fix over the reference's "
+                             "padded standardization; see "
+                             "audio/pitch.inverse_cwt_jnp). Use the same "
+                             "flag at synthesis time.")
     parser.add_argument("--scan_unroll", type=int, default=None,
                         help="denoiser residual-stack lax.scan unroll "
                              "factor (clamped to the layer count; default: "
@@ -93,6 +99,10 @@ def main():
     from cmtts_tpu.train.state import create_train_state, make_optimizer
 
     cfg = load_configs(args.dataset, args.config_root)
+    if args.cwt_masked_std:
+        import dataclasses
+        cfg = dataclasses.replace(cfg, pitch=dataclasses.replace(
+            cfg.pitch, cwt_masked_std=True))
     cm = cfg.train.cm
     if cm.training_mode != args.model:
         import dataclasses
