@@ -44,7 +44,7 @@ for SPK in $(ls "$CORPUS/raw_holdout"); do
       --embedder_ckpt "$EMB" --tag "zs_$SPK" 2>&1 | tail -3
   SYN="$CORPUS/output/result/VCTK_cm/step_${STEP}_T1_zs_${SPK}"
   echo "== identity-transfer eval: $SPK (syn dir: $SYN) =="
-  JAX_PLATFORMS=cpu python tools/zeroshot_eval.py \
+  env -u PALLAS_AXON_POOL_IPS JAX_PLATFORMS=cpu python tools/zeroshot_eval.py \
       --syn_dir "$SYN" --target_raw "$CORPUS/raw_holdout/$SPK" \
       --others_root "$CORPUS/raw" --embedder_ckpt "$EMB" \
       --out "$OUT/zs_eval_$SPK.json"
