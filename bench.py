@@ -103,9 +103,29 @@ def make_pipeline(T: int, B: int = 8):
                 params["variance_adaptor"]["duration_predictor"]["proj"]["bias"],
                 float(np.log(7.0))))
 
-    voc = HiFiGANGenerator(HiFiGANConfig())
-    voc_params = voc.init(jax.random.PRNGKey(1),
-                          jnp.zeros((1, 16, cfg.stft.n_mel_channels)))["params"]
+    # vocoder weights: trained npz if one exists (RTF is weight-
+    # independent — identical graph — but "weights: trained" should
+    # cover the whole pipeline, not just the acoustic model)
+    voc_params = None
+    voc_ckpt = os.environ.get("CMTTS_BENCH_VOC_CKPT")
+    if not voc_ckpt:
+        import glob
+        npzs = sorted(glob.glob("/tmp/voc_run/hifigan/hifigan_gen_*.npz"))
+        voc_ckpt = npzs[-1] if npzs else None
+    if voc_ckpt:
+        try:
+            from cmtts_tpu.models.hifigan import unflatten_npz
+            voc_params = unflatten_npz(voc_ckpt)
+            WEIGHTS_USED[0] += f" + vocoder({voc_ckpt})"
+        except Exception as e:
+            print(f"# bench: vocoder restore failed ({e!r}); random init",
+                  flush=True)
+            voc_params = None
+    if voc_params is None:
+        voc = HiFiGANGenerator(HiFiGANConfig())
+        voc_params = voc.init(
+            jax.random.PRNGKey(1),
+            jnp.zeros((1, 16, cfg.stft.n_mel_channels)))["params"]
 
     synth = Synthesizer(cfg, params, voc_params, T=T,
                         compute_dtype=jnp.bfloat16)
