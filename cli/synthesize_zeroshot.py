@@ -42,6 +42,12 @@ def main():
                         help="precomputed speaker-embedding .npy")
     parser.add_argument("--embedder_ckpt", type=str, default=None)
     parser.add_argument("--vocoder_ckpt", type=str, default=None)
+    parser.add_argument("--vocoder", type=str, default=None,
+                        choices=["hifigan", "melgan", "griffinlim", "none"],
+                        help="override the config vocoder; defaults to "
+                             "griffinlim when no --vocoder_ckpt is given "
+                             "(a random-init neural vocoder would emit "
+                             "meaningless buzz)")
     parser.add_argument("--tag", type=str, default="zeroshot")
     parser.add_argument("--pitch_control", type=float, default=1.0)
     parser.add_argument("--energy_control", type=float, default=1.0)
@@ -76,7 +82,35 @@ def main():
             f"{cfg.model.external_speaker_dim}")
 
     payload = restore_checkpoint(cfg.train.ckpt_path, args.restore_step or None)
-    voc_params = load_hifigan_params(args.vocoder_ckpt, cfg)
+
+    vocoder = args.vocoder
+    if vocoder is None and args.vocoder_ckpt is None:
+        # unlike cli/synthesize.py (where quality runbooks always pass an
+        # explicit vocoder), default zero-shot to Griffin-Lim rather than
+        # silently vocoding with a random-init HiFi-GAN
+        print("== no --vocoder_ckpt: vocoding with Griffin-Lim "
+              "(pass --vocoder hifigan --vocoder_ckpt ... for neural) ==")
+        vocoder = "griffinlim"
+    if vocoder in ("hifigan", "melgan"):
+        import dataclasses
+
+        cfg = dataclasses.replace(cfg, model=dataclasses.replace(
+            cfg.model,
+            vocoder_model={"hifigan": "HiFi-GAN",
+                           "melgan": "MelGAN"}[vocoder]))
+    griffin = None
+    if vocoder in ("griffinlim", "none"):
+        voc_params = None
+        if vocoder == "griffinlim":
+            from cmtts_tpu.audio.stft import GriffinLim, MelSpectrogram
+
+            griffin = GriffinLim(MelSpectrogram(
+                cfg.stft.sampling_rate, cfg.stft.filter_length,
+                cfg.stft.hop_length, cfg.stft.win_length,
+                cfg.stft.n_mel_channels, cfg.stft.mel_fmin,
+                cfg.stft.mel_fmax))
+    else:
+        voc_params = load_hifigan_params(args.vocoder_ckpt, cfg)
     synth = Synthesizer(cfg, payload["model"], voc_params, T=args.T,
                         vocoder_name=cfg.model.vocoder_model)
 
@@ -96,6 +130,11 @@ def main():
                     mel[i, : int(mel_lens[i])])
         if wav is not None:
             for w, basename in zip(synth.trim_wavs(wav, mel_lens), ids):
+                write_wav(os.path.join(out_dir, f"{basename}.wav"), w,
+                          cfg.stft.sampling_rate)
+        elif griffin is not None:
+            for i, basename in enumerate(ids):
+                w = griffin(mel[i, : int(mel_lens[i])])
                 write_wav(os.path.join(out_dir, f"{basename}.wav"), w,
                           cfg.stft.sampling_rate)
         print(f"synthesized {len(ids)} -> {out_dir}")

@@ -26,6 +26,11 @@ def main():
     parser.add_argument("--utterances_per_speaker", type=int, default=10)
     parser.add_argument("--lr", type=float, default=1e-4)
     parser.add_argument("--log_every", type=int, default=100)
+    parser.add_argument("--val_speakers", type=int, default=0,
+                        help="reserve the LAST N speakers for unseen-"
+                             "speaker EER validation + early stopping")
+    parser.add_argument("--eval_every", type=int, default=500)
+    parser.add_argument("--patience", type=int, default=4)
     args = parser.parse_args()
     if (args.wav_root is None) == (args.partials_root is None):
         parser.error("exactly one of --wav_root / --partials_root")
@@ -44,7 +49,8 @@ def main():
         utterances_per_speaker=args.utterances_per_speaker,
         learning_rate=args.lr)
     train_ge2e(partials, args.work_dir, args.total_steps, cfg,
-               log_every=args.log_every)
+               log_every=args.log_every, val_speakers=args.val_speakers,
+               eval_every=args.eval_every, patience=args.patience)
     print(f"==> saved {os.path.join(args.work_dir, 'ge2e_params.npy')}")
 
 

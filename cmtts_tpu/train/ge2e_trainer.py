@@ -41,10 +41,12 @@ class SpeakerVerificationDataset:
     ``prepare_from_wavs`` builds the cache from raw wav folders
     (reference encoder_preprocess path)."""
 
-    def __init__(self, root: str):
+    def __init__(self, root: str, speakers: list[str] | None = None):
         self.root = root
         self.speakers = sorted(
             d for d in os.listdir(root) if os.path.isdir(os.path.join(root, d)))
+        if speakers is not None:
+            self.speakers = [s for s in self.speakers if s in set(speakers)]
         self.files = {
             s: sorted(f for f in os.listdir(os.path.join(root, s))
                       if f.endswith(".npy"))
@@ -116,6 +118,46 @@ def make_ge2e_train_step(model: GE2EEncoder, tx: optax.GradientTransformation,
     return jax.jit(step)
 
 
+def ge2e_verification_eer(model: GE2EEncoder, params,
+                          ds: "SpeakerVerificationDataset",
+                          max_per_speaker: int = 20,
+                          seed: int = 0) -> float:
+    """Unseen-speaker verification EER over partial embeddings.
+
+    Scores every same-speaker pair against every cross-speaker pair by
+    cosine; the equal-error-rate is where false-accept == false-reject.
+    The reference never validates its encoder (ge2e_encoder/train.py has
+    no eval loop) — on 10-speaker synthetic corpora the encoder
+    memorizes (loss 3e-4) and collapses on held-out voices, so training
+    here early-stops on this metric instead."""
+    rng = np.random.RandomState(seed)
+    embeds, labels = [], []
+    for si, s in enumerate(ds.speakers):
+        files = ds.files[s]
+        pick = rng.choice(len(files), min(max_per_speaker, len(files)),
+                          replace=False)
+        mels = np.stack([np.load(os.path.join(ds.root, s, files[i]))
+                         for i in pick]).astype(np.float32)
+        e = np.array(model.apply({"params": params["encoder"]}, mels))
+        e /= np.linalg.norm(e, axis=1, keepdims=True) + 1e-12
+        embeds.append(e)
+        labels.extend([si] * len(e))
+    E = np.concatenate(embeds)
+    y = np.asarray(labels)
+    sim = E @ E.T
+    iu = np.triu_indices(len(E), k=1)
+    scores = sim[iu]
+    same = (y[iu[0]] == y[iu[1]])
+    pos = np.sort(scores[same])
+    neg = np.sort(scores[~same])
+    # EER: threshold sweep over the union of scores
+    thr = np.unique(scores)
+    far = 1.0 - np.searchsorted(neg, thr, side="right") / max(len(neg), 1)
+    frr = np.searchsorted(pos, thr, side="left") / max(len(pos), 1)
+    k = int(np.argmin(np.abs(far - frr)))
+    return float((far[k] + frr[k]) / 2.0)
+
+
 def init_ge2e_train(seed: int = 0, lr: float = 1e-4):
     model = GE2EEncoder()
     enc_params = model.init(
@@ -133,15 +175,33 @@ def init_ge2e_train(seed: int = 0, lr: float = 1e-4):
 
 def train_ge2e(data_root: str, out_dir: str, total_steps: int = 100,
                cfg: GE2ETrainConfig | None = None, seed: int = 0,
-               log_every: int = 10):
-    """Compact training driver; returns final params."""
+               log_every: int = 10, val_speakers: int = 0,
+               eval_every: int = 500, patience: int = 4):
+    """Compact training driver; returns final (or best-EER) params.
+
+    ``val_speakers`` > 0 reserves the LAST N speakers of ``data_root``
+    for unseen-speaker verification EER: those speakers are excluded
+    from training batches, evaluated every ``eval_every`` steps, and
+    the params with the best EER are kept (early stop after
+    ``patience`` evaluations without improvement)."""
     cfg = cfg or GE2ETrainConfig()
-    ds = SpeakerVerificationDataset(data_root)
+    all_spk = SpeakerVerificationDataset(data_root).speakers
+    val_ds = None
+    train_spk = None
+    if val_speakers > 0:
+        if val_speakers >= len(all_spk) - 1:
+            raise ValueError(
+                f"val_speakers={val_speakers} leaves <2 train speakers "
+                f"(corpus has {len(all_spk)})")
+        train_spk = all_spk[:-val_speakers]
+        val_ds = SpeakerVerificationDataset(data_root, all_spk[-val_speakers:])
+    ds = SpeakerVerificationDataset(data_root, train_spk)
     S = min(cfg.speakers_per_batch, len(ds.speakers))
     U = cfg.utterances_per_speaker
     model, params, tx, opt_state = init_ge2e_train(seed, cfg.learning_rate)
     step_fn = make_ge2e_train_step(model, tx, S, U, cfg)
     rng = np.random.RandomState(seed)
+    best_eer, best_params, stale = float("inf"), None, 0
     for step in range(1, total_steps + 1):
         mels, S_, U_ = ds.sample_batch(rng, S, U)
         params, opt_state, loss, gnorm = step_fn(params, opt_state,
@@ -149,6 +209,25 @@ def train_ge2e(data_root: str, out_dir: str, total_steps: int = 100,
         if step % log_every == 0 or step == total_steps:
             print(f"ge2e step {step}: loss={float(loss):.4f} "
                   f"gnorm={float(gnorm):.3f}", flush=True)
+        if val_ds is not None and (step % eval_every == 0
+                                   or step == total_steps):
+            eer = ge2e_verification_eer(model, params, val_ds)
+            marker = ""
+            if eer < best_eer - 1e-4:
+                best_eer, stale = eer, 0
+                best_params = jax.tree_util.tree_map(np.asarray, params)
+                marker = "  (best)"
+            else:
+                stale += 1
+            print(f"ge2e step {step}: val_eer={eer:.4f}{marker}", flush=True)
+            if stale >= patience:
+                print(f"ge2e early stop at {step} "
+                      f"(best val_eer={best_eer:.4f})", flush=True)
+                break
+    if best_params is not None:
+        params = best_params
+        print(f"ge2e: keeping best-EER params (val_eer={best_eer:.4f})",
+              flush=True)
     if out_dir:
         os.makedirs(out_dir, exist_ok=True)
         flat = jax.tree_util.tree_map(np.asarray, params)

@@ -47,6 +47,33 @@ def test_ge2e_training_reduces_loss(toy_partials):
     assert np.mean(losses[-3:]) < np.mean(losses[:3])
 
 
+def test_val_split_and_eer(toy_partials):
+    from cmtts_tpu.train.ge2e_trainer import (ge2e_verification_eer,
+                                              train_ge2e)
+
+    # val carve-out: last speaker excluded from training batches
+    params = train_ge2e(toy_partials, out_dir=None, total_steps=4,
+                        cfg=GE2ETrainConfig(speakers_per_batch=3,
+                                            utterances_per_speaker=3),
+                        val_speakers=1, eval_every=2, patience=10)
+    model, init_params, _, _ = init_ge2e_train(0)
+    all_ds = SpeakerVerificationDataset(toy_partials)
+    eer = ge2e_verification_eer(model, params, all_ds, max_per_speaker=4)
+    assert 0.0 <= eer <= 1.0
+    # a perfectly separable embedding scores EER 0
+    class FakeModel:
+        def apply(self, _, mels):
+            # one-hot by the per-speaker scale baked into the toy data
+            lvl = np.asarray(mels).mean(axis=(1, 2))
+            idx = np.clip(np.round(lvl / lvl.min()).astype(int) - 1, 0, 3)
+            return np.eye(4, dtype=np.float32)[idx]
+    assert ge2e_verification_eer(FakeModel(), {"encoder": None}, all_ds,
+                                 max_per_speaker=4) == 0.0
+
+    with pytest.raises(ValueError):
+        train_ge2e(toy_partials, None, total_steps=1, val_speakers=3)
+
+
 def test_prepare_from_wavs(tmp_path):
     from cmtts_tpu.audio.wavio import write_wav
 
