@@ -81,6 +81,7 @@ def main() -> None:
     ap.add_argument("--corpus", default="/tmp/qcorp")
     ap.add_argument("--voc_out", default="/tmp/voc_run")
     ap.add_argument("--zs_out", default="/tmp/zs_run")
+    ap.add_argument("--zs_redo", default="/tmp/zs_redo")
     ap.add_argument("--abl_logs", default="/tmp/r4_logs")
     ap.add_argument("--ct_steps", type=int,
                     default=int(os.environ.get("CT_STEPS", "20000")))
@@ -118,6 +119,25 @@ def main() -> None:
     cd = parse_metrics_txt(os.path.join(args.corpus, "metrics_cd_gl.txt"))
     artifact["cd_griffinlim"] = cd or "absent"
 
+    # masked-std inverse-CWT A/B (tools/run_maskstd_ab.sh): SAME CT
+    # checkpoint, inference-graph change only — padding-invariant f0
+    # standardization vs the reference-parity padded one
+    ms_gl = parse_metrics_txt(
+        os.path.join(args.corpus, "metrics_ct_gl_maskstd.txt"))
+    ms_voc = parse_metrics_txt(
+        os.path.join(args.voc_out, "metrics_maskstd.txt"))
+    if ms_gl or ms_voc:
+        artifact["cwt_masked_std_ab"] = {
+            "what": (
+                "B side of the inverse-CWT standardization A/B "
+                "(PitchConfig.cwt_masked_std=True at synthesis, same "
+                "checkpoint as ct_griffinlim/ct_hifigan which are the A "
+                "side); masked standardization removes the padding "
+                "dependence of the f0 reconstruction"),
+            "griffinlim": ms_gl or "absent",
+            "hifigan": ms_voc or "absent",
+        }
+
     abl = {}
     for name, tag in (("uniform", "abl_uniform"), ("linear12", "abl_linear12"),
                       ("loss-second-moment", "abl_lsm")):
@@ -146,11 +166,33 @@ def main() -> None:
                 "not by an implementation defect in the pitch path."),
         }
 
-    zs = {}
-    for p in sorted(glob.glob(os.path.join(args.zs_out, "zs_eval_*.json"))):
+    # zero-shot identity: prefer the REDO run (tools/run_zeroshot_redo.sh
+    # — 32 train voices, GE2E unseen-speaker early stopping, Griffin-Lim
+    # vocoding); fall back to the first run's GL-rescored evals
+    zs: dict = {}
+    zs_dir = args.zs_redo if glob.glob(
+        os.path.join(args.zs_redo, "zs_eval_*.json")) else args.zs_out
+    for p in sorted(glob.glob(os.path.join(zs_dir, "zs_eval_*.json"))):
         spk = os.path.basename(p)[len("zs_eval_"):-len(".json")]
+        if spk.startswith("gl_"):  # GL rescore of the first (broken) run
+            spk = spk[3:] + "_rescored_run1"
         zs[spk] = json.load(open(p))
-    artifact["zeroshot"] = zs or "absent"
+    gate = os.path.join(args.zs_redo, "ge2e_gate.json")
+    artifact["zeroshot"] = {
+        "what": (
+            "held-out-speaker synthesis (GE2E ref-wav conditioning, "
+            "reference synthesize_zeroshot_vctk.py protocol) scored by "
+            "cos(syn, target centroid) vs every training-speaker "
+            "centroid (tools/zeroshot_eval.py). The first executed run "
+            "scored ~0 because cli/synthesize_zeroshot.py silently "
+            "vocoded with a RANDOM-INIT HiFi-GAN (fixed: Griffin-Lim "
+            "default) and because GE2E memorizes a 10-speaker corpus "
+            "(fixed: 32 train voices + unseen-speaker EER early stop + "
+            "tools/check_ge2e_holdout.py gate)."),
+        "evals": zs or "absent",
+        "ge2e_holdout_gate": (json.load(open(gate))
+                              if os.path.isfile(gate) else "absent"),
+    }
 
     artifact["train_loss_trajectory"] = loss_trajectory(args.corpus)
 

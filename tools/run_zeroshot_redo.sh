@@ -44,7 +44,8 @@ run ge2e python cli/train_ge2e.py --wav_root "$ZS/raw" --work_dir "$ZS/ge2e" \
 run ge2e_gate env -u PALLAS_AXON_POOL_IPS JAX_PLATFORMS=cpu \
     python tools/check_ge2e_holdout.py --embedder_ckpt "$ZS/ge2e/ge2e_params.npy" \
     --holdout_root "$ZS/raw_holdout" --train_root "$ZS/raw" \
-    --max_nearest_train_cos 0.9 --min_self_cos 0.75
+    --max_nearest_train_cos 0.9 --min_self_cos 0.75 \
+    --out "$WORK/ge2e_gate.json"
 
 run preprocess env -u PALLAS_AXON_POOL_IPS JAX_PLATFORMS=cpu \
     python cli/preprocess.py --dataset VCTK --config_root "$ZS/config" \
