@@ -16,9 +16,13 @@ OUT=${OUT:-SERVE_r04.json}
 VOC=${VOC:-griffinlim}            # or: hifigan + VOC_CKPT=<npz>
 LOG=/tmp/serve_bench.log
 
+# NOT --warmup_all: the full (text x mel x B) ladder is ~100 graphs
+# (~40 min of tunnel compiles). Lazy warmup + the priming sweep below
+# compiles only the handful of buckets the benchmark texts actually
+# hit; the priming pass is discarded.
 args=(--dataset LJSpeech --config_root "$CORPUS/config" \
       --restore_step "$STEP" --params_role target_model \
-      --vocoder "$VOC" --port "$PORT" --warmup_all \
+      --vocoder "$VOC" --port "$PORT" \
       --max_batch 8 --batch_window_ms 20)
 [ -n "${VOC_CKPT:-}" ] && args+=(--vocoder_ckpt "$VOC_CKPT")
 
@@ -26,10 +30,16 @@ python cli/serve.py "${args[@]}" > "$LOG" 2>&1 &
 SRV=$!
 trap 'kill $SRV 2>/dev/null' EXIT
 
+# --warmup_all compiles every (B, text, mel) bucket up front: ~25 min
+# cold through the tunnel, ~2 min when the persistent XLA cache is hot.
+# Wait up to 40 min and ABORT if the server never listens — benching a
+# non-listening server records 100% errors, not latencies.
 echo "== waiting for server (pid $SRV) to warm up =="
-for i in $(seq 1 180); do
+UP=0
+for i in $(seq 1 480); do
   if curl -s -m 2 "http://127.0.0.1:$PORT/healthz" >/dev/null 2>&1; then
     echo "== server up after ~$((i * 5))s =="
+    UP=1
     break
   fi
   if ! kill -0 $SRV 2>/dev/null; then
@@ -37,6 +47,16 @@ for i in $(seq 1 180); do
   fi
   sleep 5
 done
+if [ "$UP" != 1 ]; then
+  echo "server never came up; warmup log tail:"; tail -5 "$LOG"; exit 1
+fi
+
+# priming sweep: drives every benchmark text through every batch size
+# so the lazily-compiled buckets exist before the timed sweeps
+echo "== priming (compiles the needed buckets; discarded) =="
+python tools/bench_serve.py --url "http://127.0.0.1:$PORT" \
+    --concurrency 1 8 --requests 16 --timeout 300 --out /tmp/serve_prime.json
+cat /tmp/serve_prime.json
 
 python tools/bench_serve.py --url "http://127.0.0.1:$PORT" \
     --concurrency 1 2 4 8 --requests 32 --out /tmp/serve_rows.json
