@@ -96,6 +96,17 @@ class Synthesizer:
             num_mels=cfg.stft.n_mel_channels,
             sampling_rate=cfg.stft.sampling_rate,
             upsample_initial_channel=width))
+        # Commit both param trees to device ONCE.  Checkpoint/npz loaders
+        # (orbax restore, hifigan.unflatten_npz) hand back host numpy
+        # leaves; passing those to a jitted call re-uploads every weight
+        # on EVERY invocation (~50 MB of vocoder params per call through
+        # the dev tunnel — a 30-40x RTF regression found in round 4).
+        # Under a mesh the device_put above already placed them.
+        if mesh is None:
+            cm_params = jax.tree_util.tree_map(jnp.asarray, cm_params)
+            if vocoder_params is not None:
+                vocoder_params = jax.tree_util.tree_map(jnp.asarray,
+                                                        vocoder_params)
         self.cm_params = cm_params
         self.vocoder_params = vocoder_params
         self.T = T

@@ -28,6 +28,32 @@ def test_hifigan_default_hop():
     assert HiFiGANConfig().hop_length == 256
 
 
+def test_synthesizer_commits_params_to_device():
+    """Host-numpy param trees (what orbax restore / unflatten_npz hand
+    back) must be converted to device arrays ONCE in the constructor —
+    otherwise every jitted call re-uploads all weights (a 30-40x RTF
+    regression through the dev TPU tunnel, found in round 4)."""
+    cfg = tiny_config()
+    model = CMTTS(cfg)
+    rng = jax.random.PRNGKey(0)
+    variables = model.init(
+        {"params": rng, "dropout": rng},
+        jnp.zeros((1, 16, 16)), jnp.zeros(1),
+        speakers=jnp.zeros(1, jnp.int32), texts=jnp.ones((1, 8), jnp.int32),
+        src_lens=jnp.asarray([8]), deterministic=True)
+    host_cm = jax.tree_util.tree_map(np.asarray, variables["params"])
+    voc = HiFiGANGenerator(TINY_VOC)
+    host_voc = jax.tree_util.tree_map(
+        np.asarray,
+        voc.init(jax.random.PRNGKey(1), jnp.zeros((1, 8, 16)))["params"])
+
+    synth = Synthesizer(cfg, host_cm, host_voc, T=1,
+                        text_buckets=(8,), mel_buckets=(32,))
+    for tree in (synth.cm_params, synth.vocoder_params):
+        leaves = jax.tree_util.tree_leaves(tree)
+        assert leaves and all(isinstance(x, jax.Array) for x in leaves)
+
+
 @pytest.mark.slow
 def test_synthesizer_end_to_end():
     cfg = tiny_config()
