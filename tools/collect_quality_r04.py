@@ -138,6 +138,23 @@ def main() -> None:
             "hifigan": ms_voc or "absent",
         }
 
+    # train-time-consistent masked-std run (tools/round4d_queue.sh):
+    # the CWT pitch path trained AND synthesized with padding-invariant
+    # standardization (--cwt_masked_std), vs the A/B above which only
+    # flipped it at synthesis
+    mst_gl = parse_metrics_txt(os.path.join(args.corpus, "metrics_mst_gl.txt"))
+    mst_voc = parse_metrics_txt(os.path.join(args.voc_out, "metrics_mst.txt"))
+    if mst_gl or mst_voc:
+        artifact["cwt_masked_std_trained"] = {
+            "what": (
+                "CT trained from scratch with PitchConfig.cwt_masked_std="
+                "True (train-and-synthesis-consistent padding-invariant "
+                "inverse-CWT f0 standardization), same corpus/steps as "
+                "ct_griffinlim"),
+            "griffinlim": mst_gl or "absent",
+            "hifigan": mst_voc or "absent",
+        }
+
     abl = {}
     for name, tag in (("uniform", "abl_uniform"), ("linear12", "abl_linear12"),
                       ("loss-second-moment", "abl_lsm")):
