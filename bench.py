@@ -84,6 +84,11 @@ def make_pipeline(T: int, B: int = 8):
                                             payload["target_model"])
             WEIGHTS_USED[0] = f"trained(target_model:{ckpt})"
         except Exception as e:
+            if os.environ.get("CMTTS_BENCH_CKPT"):
+                # the operator EXPLICITLY asked for these weights — a
+                # silent random-init fallback would publish a headline
+                # under weights they did not ask for
+                raise
             print(f"# bench: checkpoint restore failed ({e!r}); "
                   "falling back to random init", flush=True)
             params = None

@@ -47,7 +47,8 @@ def evaluate_cm(cfg, params, max_batches=None, with_mel=True, seed=42):
         total, losses = variance_loss(cond_out, batch, cfg, sil_ids)
         return total, losses
 
-    dataset = FeatureDataset("val.txt", cfg, sort=False, drop_last=False)
+    dataset = FeatureDataset("val.txt", cfg, sort=False, drop_last=False,
+                             cache_in_ram=False)  # single pass
     totals, all_losses = [], {}
     n = 0
     for batch in batch_iterator(dataset, cfg.train.batch_size, group_size=1,

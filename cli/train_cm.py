@@ -53,9 +53,12 @@ def main():
                              "(data x model) mesh; device_count/tp becomes "
                              "the data-parallel degree. 1 = pure DP "
                              "(reference is DDP-only, train_util.py:100-117)")
+    # (lognormal is NOT a choice: LogNormalSampler draws continuous EDM
+    # sigmas, not CM grid indices — reference keeps it separate too,
+    # resample.py:240-260 vs create_named_schedule_sampler:26-43)
     parser.add_argument("--schedule_sampler", type=str, default=None,
                         choices=["uniform", "linear12", "linear21",
-                                 "loss-second-moment", "lognormal"],
+                                 "loss-second-moment"],
                         help="override train.yaml cm.schedule_sampler "
                              "(reference resample.py:26-43 names) — used "
                              "for sampler ablations without editing the "

@@ -189,6 +189,14 @@ def train_ge2e(data_root: str, out_dir: str, total_steps: int = 100,
     val_ds = None
     train_spk = None
     if val_speakers > 0:
+        if val_speakers < 2:
+            # EER needs cross-speaker (negative) pairs; with one val
+            # speaker every threshold scores FAR=1.0, the first eval's
+            # params are "best" forever and early stop silently
+            # discards all later training
+            raise ValueError(
+                f"val_speakers={val_speakers}: verification EER needs "
+                ">=2 held-out speakers (no negative pairs otherwise)")
         if val_speakers >= len(all_spk) - 1:
             raise ValueError(
                 f"val_speakers={val_speakers} leaves <2 train speakers "

@@ -335,7 +335,11 @@ def make_synthesize_step(model: CMTTS, cfg: Config, with_viz: bool = False):
                     cwt_out[..., :10], p_pred["f0_mean"],
                     p_pred["f0_std"] * cfg.model.variance_predictor.cwt_std_scale,
                     mel2ph.shape[1], pc.pitch_norm, pc.f0_mean, pc.f0_std,
-                    pc.pitch_norm_eps)
+                    pc.pitch_norm_eps,
+                    # same standardization the model conditioned on
+                    # (variance.py:222) — padded-std plots misrepresent
+                    # a cwt_masked_std run by up to ~350 cents
+                    mask=(mel2ph > 0) if pc.cwt_masked_std else None)
                 uv_pred = (cwt_out[..., -1] > 0) if pc.use_uv else None
                 viz["f0_pred"] = denorm_f0_jnp(
                     f0n, uv_pred, pc.pitch_norm, pc.f0_mean, pc.f0_std,

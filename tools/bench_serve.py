@@ -195,7 +195,9 @@ def main():
                for k, v in _percentiles(lat or [0]).items()},
         }
         if service is not None:
-            row["batch_hist"] = dict(service.batch_hist)
+            # str keys to match the HTTP (JSON) path's histograms
+            row["batch_hist"] = {str(k): v
+                                 for k, v in service.batch_hist.items()}
             service.batch_hist.clear()
         elif args.url:
             # per-sweep delta of the server's cumulative histogram —
@@ -203,10 +205,13 @@ def main():
             hist_after = fetch_batch_hist(args.url)
             if hist_after is not None:
                 before = hist_before or {}
-                row["batch_hist"] = {
-                    k: v - before.get(k, 0)
-                    for k, v in sorted(hist_after.items())
-                    if v - before.get(k, 0) > 0}
+                delta = {k: v - before.get(k, 0)
+                         for k, v in sorted(hist_after.items())
+                         if v - before.get(k, 0) > 0}
+                if not delta and hist_after != before:
+                    # counters went backwards: server restarted mid-run
+                    row["batch_hist_error"] = "server hist reset mid-sweep"
+                row["batch_hist"] = delta
         rows.append(row)
         print(json.dumps(row))
     if errs := [r for r in rows if r["errors"]]:

@@ -81,7 +81,10 @@ def main() -> None:
     ap.add_argument("--corpus", default="/tmp/qcorp")
     ap.add_argument("--voc_out", default="/tmp/voc_run")
     ap.add_argument("--zs_out", default="/tmp/zs_run")
-    ap.add_argument("--zs_redo", default="/tmp/zs_redo")
+    ap.add_argument("--zs_redo", default=None,
+                    help="zero-shot redo dir; default = the newest of "
+                         "/tmp/zs_redo2 (round-4c, regenerated corpus) "
+                         "then /tmp/zs_redo that has zs_eval files")
     ap.add_argument("--abl_logs", default="/tmp/r4_logs")
     ap.add_argument("--ct_steps", type=int,
                     default=int(os.environ.get("CT_STEPS", "20000")))
@@ -187,14 +190,19 @@ def main() -> None:
     # — 32 train voices, GE2E unseen-speaker early stopping, Griffin-Lim
     # vocoding); fall back to the first run's GL-rescored evals
     zs: dict = {}
-    zs_dir = args.zs_redo if glob.glob(
-        os.path.join(args.zs_redo, "zs_eval_*.json")) else args.zs_out
+    redo_candidates = ([args.zs_redo] if args.zs_redo
+                       else ["/tmp/zs_redo2", "/tmp/zs_redo"])
+    zs_dir = next((d for d in redo_candidates
+                   if glob.glob(os.path.join(d, "zs_eval_*.json"))),
+                  args.zs_out)
     for p in sorted(glob.glob(os.path.join(zs_dir, "zs_eval_*.json"))):
         spk = os.path.basename(p)[len("zs_eval_"):-len(".json")]
         if spk.startswith("gl_"):  # GL rescore of the first (broken) run
             spk = spk[3:] + "_rescored_run1"
         zs[spk] = json.load(open(p))
-    gate = os.path.join(args.zs_redo, "ge2e_gate.json")
+    gate = next((p for d in [zs_dir] + redo_candidates
+                 if os.path.isfile(p := os.path.join(d, "ge2e_gate.json"))),
+                "/nonexistent")
     artifact["zeroshot"] = {
         "what": (
             "held-out-speaker synthesis (GE2E ref-wav conditioning, "

@@ -98,7 +98,8 @@ def main() -> None:
     n_frames = 0
     stat_rows = []
 
-    dataset = FeatureDataset(args.split, cfg, sort=False, drop_last=False)
+    dataset = FeatureDataset(args.split, cfg, sort=False, drop_last=False,
+                             cache_in_ram=False)  # single pass
     bs = min(cfg.train.batch_size, len(dataset))
     for batch in batch_iterator(dataset, bs, group_size=1,
                                 shuffle=False, epochs=1):
@@ -137,8 +138,7 @@ def main() -> None:
                  "pred_stats": gt_uv, "pred_all": pr_uv}
 
         # valid frames: inside the true mel length
-        valid = (np.arange(t_mel)[None, :]
-                 < np.asarray(clean["mel_lens"])[:, None])
+        valid = valid_mask
         n_frames += int(valid.sum())
         for v in variants:
             both = valid & (gt_f0_hz > 0) & (hz[v] > 0)
