@@ -55,7 +55,7 @@ fi
 # so the lazily-compiled buckets exist before the timed sweeps
 echo "== priming (compiles the needed buckets; discarded) =="
 python tools/bench_serve.py --url "http://127.0.0.1:$PORT" \
-    --concurrency 1 8 --requests 16 --timeout 300 --out /tmp/serve_prime.json
+    --concurrency 1 2 4 8 --requests 16 --timeout 300 --out /tmp/serve_prime.json
 cat /tmp/serve_prime.json
 
 python tools/bench_serve.py --url "http://127.0.0.1:$PORT" \

@@ -17,6 +17,10 @@ cd "$(dirname "$0")/.."
 ZS=${ZS:-/tmp/zscorp2}
 WORK=${WORK:-/tmp/zs_redo}
 STEPS=${STEPS:-8000}
+SPEAKERS=${SPEAKERS:-34}     # total voices (last HOLDOUT are zero-shot targets)
+UTTS=${UTTS:-40}
+HOLDOUT=${HOLDOUT:-2}
+VAL_SPK=${VAL_SPK:-3}        # GE2E unseen-speaker EER validation voices
 mkdir -p "$WORK"
 
 run() {
@@ -31,20 +35,20 @@ run() {
 # 34 voices in the 4-D profile space: 32 train (3 of them GE2E-val),
 # 2 zero-shot holdout
 run corpus env -u PALLAS_AXON_POOL_IPS JAX_PLATFORMS=cpu \
-    python cli/gen_corpus.py --out "$ZS" --speakers 34 \
-    --utts_per_speaker 40 --holdout 2 --val_size 16
+    python cli/gen_corpus.py --out "$ZS" --speakers "$SPEAKERS" \
+    --utts_per_speaker "$UTTS" --holdout "$HOLDOUT" --val_size 16
 
 # GE2E runs on the chip (the LSTM steps are ~30x faster than this
 # host's single CPU core; the original queue's 10k steps took 20 min)
 run ge2e python cli/train_ge2e.py --wav_root "$ZS/raw" --work_dir "$ZS/ge2e" \
-    --total_steps 12000 --val_speakers 3 --eval_every 500 --patience 4
+    --total_steps 12000 --val_speakers "$VAL_SPK" --eval_every 500 --patience 4
 
 # generalization gate: abort before burning chip time if the encoder
 # still cannot separate truly-unseen voices (the holdout pair)
 run ge2e_gate env -u PALLAS_AXON_POOL_IPS JAX_PLATFORMS=cpu \
     python tools/check_ge2e_holdout.py --embedder_ckpt "$ZS/ge2e/ge2e_params.npy" \
     --holdout_root "$ZS/raw_holdout" --train_root "$ZS/raw" \
-    --max_nearest_train_cos 0.9 --min_self_cos 0.75 \
+    --min_top1 0.75 --min_margin 0.0 \
     --out "$WORK/ge2e_gate.json"
 
 run preprocess env -u PALLAS_AXON_POOL_IPS JAX_PLATFORMS=cpu \
