@@ -159,13 +159,11 @@ def main():
 
     from cmtts_tpu.data.native_loader import prefetch_iterator
 
-    # background-thread prefetch overlaps file IO/collation with device
-    # steps (the reference's DataLoader workers); the native C++ loader
-    # parallelizes the per-utterance npy reads inside each mega-batch
-    batches = prefetch_iterator(
-        lambda: batch_iterator(dataset, cfg.train.batch_size,
-                               cfg.train.group_size, seed=cm.seed))
-    first = next(batches)
+    # one batch for shape/param init; the training feed itself is built
+    # after the mesh exists (it bakes in cleaning/padding/stacking — see
+    # feed_windows below) and restarts from epoch 0
+    first = next(batch_iterator(dataset, cfg.train.batch_size,
+                                cfg.train.group_size, seed=cm.seed))
 
     rng = jax.random.PRNGKey(cm.seed)
     step0 = args.restore_step
@@ -260,22 +258,6 @@ def main():
                 parts += [(k, kk, vv.shape) for kk, vv in sorted(v.items())]
         return tuple(parts)
 
-    def windows():
-        """Yield lists of K same-bucket-shape batches (K=1: every batch
-        its own window).  Same shapes -> one compiled scan graph per
-        bucket combination."""
-        if K == 1:
-            for b in batches:
-                yield [b]
-            return
-        queues: dict = {}
-        for b in batches:
-            q = queues.setdefault(shape_key(b), [])
-            q.append(b)
-            if len(q) == K:
-                yield list(q)
-                q.clear()
-
     def stack_window(bs):
         out = {}
         for k, v0 in bs[0].items():
@@ -286,6 +268,49 @@ def main():
             else:
                 out[k] = v0
         return out
+
+    n_data = mesh.shape["data"]
+
+    def _clean_pad(b):
+        clean = {k: v for k, v in b.items() if k not in ("ids", "raw_texts")}
+        if n_data > 1:
+            # batches are sharded over the 'data' axis only, so the
+            # batch must divide the data-parallel degree (NOT the
+            # total device count: under --tp the 'model' axis shards
+            # weights, not samples); pad by repeating the last sample
+            # — sample_valid makes the duplicates' loss contribution
+            # exactly zero
+            clean, _orig = pad_batch_to_multiple(clean, n_data)
+        return clean
+
+    def feed_windows():
+        """Device-ready training feed: clean/pad every batch and (K>1)
+        group K same-bucket-shape batches into one stacked (K, B, ...)
+        megabatch — same shapes -> one compiled scan graph per bucket
+        combination.  Runs entirely on the prefetch producer thread so
+        collation, padding and the window memcpy overlap the device
+        steps and the host->device transfer of the previous window
+        (transfers are network-bound on a tunneled device, so host CPU
+        work hides under them even on a single-core host)."""
+        it = batch_iterator(dataset, cfg.train.batch_size,
+                            cfg.train.group_size, seed=cm.seed)
+        if K == 1:
+            for b in it:
+                yield _clean_pad(b)
+            return
+        queues: dict = {}
+        for b in it:
+            q = queues.setdefault(shape_key(b), [])
+            q.append(_clean_pad(b))
+            if len(q) == K:
+                yield stack_window(q)
+                q.clear()
+
+    # background-thread prefetch overlaps the whole host side of the
+    # feed with device steps (the reference's DataLoader workers); the
+    # native C++ loader additionally parallelizes the per-utterance npy
+    # reads inside each mega-batch
+    windows_ready = prefetch_iterator(feed_windows)
 
     step = step0 + 1  # first step of the upcoming window
     t_last = time.perf_counter()
@@ -299,7 +324,7 @@ def main():
         if profiling and args.profile_dir:
             jax.profiler.stop_trace()
             print("==> profiler trace written (early stop)")
-    for window in windows():
+    for ready in windows_ready:
         last_step = step + K - 1
         target_ema, new_scales = ema_scale_fn(step)
         if new_scales != num_scales:  # only reachable at K == 1
@@ -322,28 +347,14 @@ def main():
                 args.profile_dir = None
                 print("==> profiler trace written")
 
-        cleans = []
-        n_data = mesh.shape["data"]
-        for b in window:
-            clean = {k: v for k, v in b.items()
-                     if k not in ("ids", "raw_texts")}
-            if n_data > 1:
-                # batches are sharded over the 'data' axis only, so the
-                # batch must divide the data-parallel degree (NOT the
-                # total device count: under --tp the 'model' axis shards
-                # weights, not samples); pad by repeating the last sample
-                # — sample_valid makes the duplicates' loss contribution
-                # exactly zero
-                clean, _orig = pad_batch_to_multiple(clean, n_data)
-            cleans.append(clean)
         rng, sub = jax.random.split(rng)
         probs = jnp.asarray(sampler.probs())
         if K == 1:
-            sharded = shard_batch(cleans[0], mesh)
+            sharded = shard_batch(ready, mesh)
             state, metrics = train_step(state, sharded, probs, sub,
                                         jnp.asarray(target_ema))
         else:
-            sharded = shard_batch(stack_window(cleans), mesh, leading_axes=1)
+            sharded = shard_batch(ready, mesh, leading_axes=1)
             emas = jnp.asarray([ema_scale_fn(s)[0]
                                 for s in range(step, step + K)])
             state, metrics = train_step(state, sharded, probs, sub, emas)
@@ -355,9 +366,8 @@ def main():
             # duplicate rows are dropped from the LSM history
             idx = gather_per_sample(metrics["indices"]).reshape(-1)
             lps = gather_per_sample(metrics["loss_per_sample"]).reshape(-1)
-            if "sample_valid" in cleans[0]:
-                sv = np.concatenate(
-                    [np.asarray(c["sample_valid"]) for c in cleans]) > 0
+            if "sample_valid" in ready:
+                sv = np.asarray(ready["sample_valid"]).reshape(-1) > 0
                 idx, lps = idx[sv], lps[sv]
             sampler.update(idx, lps)
 
