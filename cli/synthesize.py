@@ -87,7 +87,23 @@ def main():
     parser.add_argument("--speaker_id", type=int, default=0)
     parser.add_argument("--dataset", type=str, required=True)
     parser.add_argument("--T", type=int, default=1, choices=[1, 2, 4])
-    parser.add_argument("--model", type=str, default="consistency_training")
+    parser.add_argument("--model", type=str, default=None,
+                        choices=["consistency_training",
+                                 "consistency_distillation", "progdist",
+                                 "edm"],
+                        help="training mode of the checkpoint (sets the "
+                             "denoiser scalings: edm uses plain EDM "
+                             "scalings, consistency modes the boundary "
+                             "ones); default = the checkpoint's recorded "
+                             "run_config, else the config file")
+    parser.add_argument("--sampler", type=str, default=None,
+                        choices=["onestep", "multistep", "our_multistep",
+                                 "euler", "heun", "dpm", "ancestral"],
+                        help="override the T-derived sampler (e.g. heun "
+                             "for an edm diffusion teacher)")
+    parser.add_argument("--sample_steps", type=int, default=2,
+                        help="sigma-grid size for the ODE samplers "
+                             "(heun/euler/dpm/ancestral)")
     parser.add_argument("--config_root", type=str, default=None)
     parser.add_argument("--vocoder_ckpt", type=str, default=None,
                         help="orbax dir or .npz of HiFi-GAN params")
@@ -117,7 +133,13 @@ def main():
                         help="padding-invariant inverse-CWT f0 (fix over "
                              "the reference's padded standardization; see "
                              "audio/pitch.inverse_cwt_jnp). Works with any "
-                             "checkpoint — inference-graph change only.")
+                             "checkpoint — inference-graph change only. "
+                             "Adopted automatically when the checkpoint "
+                             "was trained with it.")
+    parser.add_argument("--no_cwt_masked_std", action="store_true",
+                        help="force the reference-parity padded "
+                             "standardization even for a maskstd-trained "
+                             "checkpoint (A/B use)")
     args = parser.parse_args()
 
     import jax
@@ -138,11 +160,45 @@ def main():
 
         cfg = dataclasses.replace(cfg, train=dataclasses.replace(
             cfg.train, ckpt_path=cfg.train.ckpt_path + tag))
-    if args.cwt_masked_std:
+
+    # adopt the checkpoint run's graph-affecting flags (ADVICE r4):
+    # explicit CLI flags still win (the maskstd synthesis A/B depends on
+    # overriding a non-maskstd checkpoint), but the default follows what
+    # the checkpoint was trained with
+    from cmtts_tpu.train.checkpoint import read_run_config
+    run_cfg = read_run_config(cfg.train.ckpt_path)
+    cwt_masked_std = args.cwt_masked_std
+    if not cwt_masked_std and run_cfg.get("cwt_masked_std"):
+        print("==> checkpoint was trained with --cwt_masked_std; adopting "
+              "it (pass --no_cwt_masked_std to force the padded parity "
+              "standardization)")
+        cwt_masked_std = True
+    if args.no_cwt_masked_std:
+        cwt_masked_std = False
+    training_mode = (args.model or run_cfg.get("training_mode")
+                     or cfg.train.cm.training_mode)
+    if training_mode != cfg.train.cm.training_mode:
+        import dataclasses
+
+        if run_cfg.get("training_mode") not in (None, training_mode):
+            print(f"==> note: checkpoint records training_mode="
+                  f"{run_cfg['training_mode']!r}, synthesizing as "
+                  f"{training_mode!r}")
+        cfg = dataclasses.replace(cfg, train=dataclasses.replace(
+            cfg.train, cm=dataclasses.replace(
+                cfg.train.cm, training_mode=training_mode)))
+    if cwt_masked_std:
         import dataclasses
 
         cfg = dataclasses.replace(cfg, pitch=dataclasses.replace(
             cfg.pitch, cwt_masked_std=True))
+    if args.vocoder in ("hifigan", "melgan") and args.vocoder_ckpt is None:
+        # an EXPLICIT neural-vocoder request without weights would fall
+        # through load_hifigan_params(None) to a random-init generator
+        # (ADVICE r4; the round-4 zero-shot post-mortem's failure mode)
+        raise SystemExit(f"--vocoder {args.vocoder} requires "
+                         "--vocoder_ckpt (no checkpoint means random-init "
+                         "output); use --vocoder griffinlim instead")
     if args.vocoder in ("hifigan", "melgan"):
         # honor the neural-vocoder override too (not just griffinlim/
         # none): propagate through cfg so the param loader and the
@@ -174,10 +230,13 @@ def main():
         voc_params = load_hifigan_params(args.vocoder_ckpt, cfg)
 
     synth = Synthesizer(cfg, params, voc_params, T=args.T,
+                        sampler=args.sampler, sample_steps=args.sample_steps,
                         vocoder_name=cfg.model.vocoder_model)
     out_dir = os.path.join(
         cfg.train.result_path + "_cm" + tag,
         f"step_{args.restore_step}_T{args.T}"
+        + (f"_{args.sampler}{args.sample_steps}" if args.sampler in
+           ("heun", "euler", "dpm", "ancestral") else "")
         + (f"_{args.tag}" if args.tag else ""))
     os.makedirs(out_dir, exist_ok=True)
 

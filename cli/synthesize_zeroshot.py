@@ -81,6 +81,18 @@ def main():
             f"embedding dim {embed.shape[0]} != external_speaker_dim "
             f"{cfg.model.external_speaker_dim}")
 
+    # adopt the checkpoint run's graph-affecting flags (ADVICE r4): a
+    # maskstd-trained checkpoint must be synthesized with the same
+    # inverse-CWT standardization
+    from cmtts_tpu.train.checkpoint import read_run_config
+    run_cfg = read_run_config(cfg.train.ckpt_path)
+    if run_cfg.get("cwt_masked_std") and not cfg.pitch.cwt_masked_std:
+        import dataclasses
+
+        print("==> checkpoint was trained with --cwt_masked_std; adopting")
+        cfg = dataclasses.replace(cfg, pitch=dataclasses.replace(
+            cfg.pitch, cwt_masked_std=True))
+
     payload = restore_checkpoint(cfg.train.ckpt_path, args.restore_step or None)
 
     vocoder = args.vocoder
@@ -91,6 +103,13 @@ def main():
         print("== no --vocoder_ckpt: vocoding with Griffin-Lim "
               "(pass --vocoder hifigan --vocoder_ckpt ... for neural) ==")
         vocoder = "griffinlim"
+    if vocoder in ("hifigan", "melgan") and args.vocoder_ckpt is None:
+        # an EXPLICIT neural-vocoder request without weights would fall
+        # through load_hifigan_params(None) to a random-init generator —
+        # the buzz-output failure mode round 4 fixed for the default path
+        raise SystemExit(f"--vocoder {vocoder} requires --vocoder_ckpt "
+                         "(no checkpoint means random-init output); drop "
+                         "--vocoder for Griffin-Lim instead")
     if vocoder in ("hifigan", "melgan"):
         import dataclasses
 

@@ -21,10 +21,43 @@ def main():
     parser = argparse.ArgumentParser()
     parser.add_argument("--model", type=str, required=True,
                         choices=["consistency_training",
-                                 "consistency_distillation", "progdist"])
+                                 "consistency_distillation", "progdist",
+                                 "edm"],
+                        help="edm = true-diffusion teacher training "
+                             "(EDM denoising score matching with "
+                             "lognormal sigmas, reference "
+                             "KarrasDenoiser.training_losses "
+                             "karras_diffusion.py:104-137) — trains the "
+                             "teacher that consistency_distillation then "
+                             "distills")
     parser.add_argument("--teacher_path", type=str, default=None,
                         help="teacher checkpoint for distillation: orbax "
                              "step dir or reference torch model*.pt")
+    parser.add_argument("--teacher_role", type=str, default="model",
+                        help="checkpoint role to distill from (orbax "
+                             "teachers): model | target_model | ema_0/1/2 "
+                             "— an edm teacher's EMA (target_model) is "
+                             "the usual choice")
+    parser.add_argument("--teacher_edm", action="store_true", default=None,
+                        help="drive the distillation teacher with plain "
+                             "EDM (non-boundary) scalings — required when "
+                             "the teacher is an edm-trained diffusion "
+                             "model; auto-detected from the teacher's "
+                             "run_config.json when present")
+    parser.add_argument("--seed", type=int, default=None,
+                        help="override train.yaml cm.seed (data order + "
+                             "init + noise) — for multi-seed ablations")
+    parser.add_argument("--weight_schedule", type=str, default=None,
+                        choices=["uniform", "snr", "snr+1", "karras",
+                                 "truncated-snr"],
+                        help="override train.yaml cm.weight_schedule "
+                             "(karras is the EDM-paper weighting for "
+                             "--model edm)")
+    parser.add_argument("--p_mean", type=float, default=-1.2,
+                        help="edm mode: lognormal sigma mean (reference "
+                             "LogNormalSampler, resample.py:240-260)")
+    parser.add_argument("--p_std", type=float, default=1.2,
+                        help="edm mode: lognormal sigma std")
     parser.add_argument("--dataset", type=str, required=True)
     parser.add_argument("--restore_step", type=int, default=0)
     parser.add_argument("--path_tag", type=str, default="")
@@ -119,6 +152,18 @@ def main():
             cfg.train, cm=dataclasses.replace(
                 cm, schedule_sampler=args.schedule_sampler)))
         cm = cfg.train.cm
+    if (args.weight_schedule is not None
+            and args.weight_schedule != cm.weight_schedule):
+        import dataclasses
+        cfg = dataclasses.replace(cfg, train=dataclasses.replace(
+            cfg.train, cm=dataclasses.replace(
+                cm, weight_schedule=args.weight_schedule)))
+        cm = cfg.train.cm
+    if args.seed is not None and args.seed != cm.seed:
+        import dataclasses
+        cfg = dataclasses.replace(cfg, train=dataclasses.replace(
+            cfg.train, cm=dataclasses.replace(cm, seed=args.seed)))
+        cm = cfg.train.cm
     if (args.scan_unroll is not None
             and args.scan_unroll != cfg.model.denoiser.scan_unroll):
         import dataclasses
@@ -141,6 +186,20 @@ def main():
     log_dir = os.path.join(cfg.train.log_path + "_cm" + tag, "train")
     logger = kvlogger.configure(log_dir)
 
+    # persist graph-affecting run flags next to the checkpoints so
+    # synthesis adopts them automatically (ADVICE r4: a maskstd-trained
+    # checkpoint synthesized without the flag silently reintroduces the
+    # train/infer standardization mismatch)
+    from cmtts_tpu.train.checkpoint import write_run_config
+    write_run_config(cfg.train.ckpt_path, {
+        "training_mode": args.model,
+        "cwt_masked_std": bool(cfg.pitch.cwt_masked_std),
+        "schedule_sampler": cfg.train.cm.schedule_sampler,
+        "weight_schedule": cfg.train.cm.weight_schedule,
+        "seed": cfg.train.cm.seed,
+        "dataset": args.dataset,
+    })
+
     print(f"==> CM-TTS-TPU training: {args.model} on {args.dataset}")
     print(f"==> devices: {jax.devices()}")
 
@@ -154,7 +213,13 @@ def main():
     # progdist samples indices in [0, N) vs the CM grid's [0, N-1)
     # (reference karras_diffusion.py:340 vs :213)
     sampler_scales = cm.start_scales + (1 if args.model == "progdist" else 0)
-    sampler = create_schedule_sampler(cm.schedule_sampler, sampler_scales)
+    if args.model == "edm":
+        # edm draws continuous lognormal sigmas inside the jitted step
+        # (loop.py); the discrete grid sampler is bypassed — pin it to
+        # uniform so an LSM config can't try to ingest float sigmas
+        sampler = create_schedule_sampler("uniform", sampler_scales)
+    else:
+        sampler = create_schedule_sampler(cm.schedule_sampler, sampler_scales)
     tx = make_optimizer(cm.lr, cm.weight_decay)
 
     from cmtts_tpu.data.native_loader import prefetch_iterator
@@ -206,9 +271,22 @@ def main():
         else:
             from cmtts_tpu.train.checkpoint import restore_payload_from_dir
 
-            teacher_params = restore_payload_from_dir(tp)["model"]
+            teacher_params = restore_payload_from_dir(tp)[args.teacher_role]
         teacher_params = jax.tree_util.tree_map(jnp.asarray, teacher_params)
-        print(f"==> loaded teacher from {tp}")
+        teacher_is_edm = args.teacher_edm
+        if teacher_is_edm is None and not tp.endswith(".pt"):
+            # auto-detect from the teacher run's sidecar: an edm-trained
+            # teacher must be driven with plain (non-boundary) scalings
+            import json
+            rc_path = os.path.join(os.path.dirname(os.path.abspath(tp)),
+                                   "run_config.json")
+            if os.path.isfile(rc_path):
+                with open(rc_path) as f:
+                    teacher_is_edm = (
+                        json.load(f).get("training_mode") == "edm")
+        teacher_is_edm = bool(teacher_is_edm)
+        print(f"==> loaded teacher from {tp} "
+              f"({'edm' if teacher_is_edm else 'boundary'} scalings)")
         # student initializes from the teacher (reference
         # train_util.py:651-687 resume-from-teacher plumbing). The
         # student must get a COPY: the jitted step donates the state
@@ -242,10 +320,19 @@ def main():
 
     _, num_scales = ema_scale_fn(step0)
     compute_dtype = jnp.bfloat16 if args.bf16 else None
+    teacher_sched = None
+    if teacher_params is not None and teacher_is_edm:
+        import dataclasses
+        from cmtts_tpu.train.loop import schedule_from_config
+        teacher_sched = dataclasses.replace(
+            schedule_from_config(cfg), distillation=False)
     train_step = make_train_step(model, cfg, tx, num_scales,
                                  teacher_params=teacher_params,
                                  compute_dtype=compute_dtype,
-                                 scan_steps=K if K > 1 else None)
+                                 scan_steps=K if K > 1 else None,
+                                 teacher_sched=teacher_sched,
+                                 edm_p_mean=args.p_mean,
+                                 edm_p_std=args.p_std)
     synth_step = make_synthesize_step(model, cfg, with_viz=True)
 
     def shape_key(b):
@@ -331,7 +418,10 @@ def main():
             num_scales = new_scales
             train_step = make_train_step(model, cfg, tx, num_scales,
                                          teacher_params=teacher_params,
-                                         compute_dtype=compute_dtype)
+                                         compute_dtype=compute_dtype,
+                                         teacher_sched=teacher_sched,
+                                         edm_p_mean=args.p_mean,
+                                         edm_p_std=args.p_std)
             sampler = create_schedule_sampler(
                 cm.schedule_sampler,
                 num_scales + (1 if args.model == "progdist" else 0))

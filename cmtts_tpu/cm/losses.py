@@ -283,6 +283,47 @@ def consistency_loss(
     return total, aux
 
 
+def edm_loss(
+    apply_fn: Callable,
+    params,
+    x_start: jnp.ndarray,          # (B, L, n_mels) ground-truth mel
+    noise: jnp.ndarray,
+    sigmas: jnp.ndarray,           # (B,) continuous EDM noise levels
+    batch: dict,
+    cfg: Config,
+    sched: KarrasSchedule,
+    sil_ids: tuple[int, ...],
+    dropout_rng,
+):
+    """EDM denoising-score-matching loss — trains the true DIFFUSION
+    teacher for consistency distillation (reference
+    ``KarrasDenoiser.training_losses``, karras_diffusion.py:104-137,
+    driven with the lognormal sigma sampler, resample.py:240-260).
+
+    The schedule must use the plain (non-boundary) EDM scalings
+    (``distillation=False``): x_t = x0 + sigma*noise, loss =
+    w(snr) * mean (D(x_t, sigma) - x0)^2 + the variance-adaptor losses
+    (the TTS conditioning still has to learn duration/pitch/energy).
+    Returns (per_sample_total (B,), aux) like consistency_loss.
+    """
+    denoise = make_denoise_fn(apply_fn, sched)
+    dims = x_start.ndim
+
+    x_t = x_start + noise * append_dims(sigmas, dims)
+    denoised, cond_out = denoise(params, x_t, sigmas, batch, dropout_rng,
+                                 False)
+    tts_total, tts_losses = variance_loss(cond_out, batch, cfg, sil_ids)
+
+    snrs = sched.snr(sigmas)
+    weights = get_weightings(cfg.train.cm.weight_schedule, snrs,
+                             sched.sigma_data)
+    mse = mean_flat(append_dims(weights, dims) * (denoised - x_start) ** 2)
+
+    total = mse + tts_total
+    aux = {"cm_loss": mse, "tts_loss": tts_total, **tts_losses}
+    return total, aux
+
+
 def progdist_loss(
     apply_fn: Callable,
     params,

@@ -162,22 +162,42 @@ def sample_utterance(rng: np.random.RandomState,
 
 
 def f0_contour(phones, durs, rng: np.random.RandomState,
-               base: float = 170.0) -> np.ndarray:
+               base: float = 170.0,
+               deterministic: bool = False) -> np.ndarray:
     """Per-frame f0 (Hz): declination + per-syllable accents + jitter.
-    Unvoiced/silent frames are 0."""
+    Unvoiced/silent frames are 0.
+
+    ``deterministic=True`` makes the contour a pure function of the
+    phone sequence and its durations (round-4 VERDICT #6): accents land
+    on EVERY vowel with an amplitude fixed by the vowel's identity and a
+    width fixed by its duration, no jitter.  The default (False) keeps
+    the original corpus bit-for-bit: random 60 %-per-vowel accents with
+    random amplitude/width — prosody text CANNOT predict, which puts an
+    ~162-cent aleatoric floor under the stats head
+    (tools/diag_pitch.py round-4 decomposition)."""
     total = int(np.sum(durs))
     t = np.arange(total) / max(total - 1, 1)
     f0 = base * (1.12 - 0.25 * t)  # declination
     # accent bumps centered on voiced vowels
     pos = 0
     for p, d in zip(phones, durs):
-        if p in VOWELS and rng.rand() < 0.6:
+        if p in VOWELS:
+            if deterministic:
+                # amplitude from the vowel identity (text-predictable),
+                # width from its duration (duration-predictable)
+                amp = 6.0 + 18.0 * VOWELS.index(p) / max(len(VOWELS) - 1, 1)
+                width = max(d, 4) * 1.2
+            elif rng.rand() < 0.6:
+                amp = rng.uniform(5.0, 25.0)
+                width = max(d, 4) * rng.uniform(0.8, 1.6)
+            else:
+                pos += d
+                continue
             c = pos + d / 2
-            amp = rng.uniform(5.0, 25.0)
-            width = max(d, 4) * rng.uniform(0.8, 1.6)
             f0 += amp * np.exp(-0.5 * ((np.arange(total) - c) / width) ** 2)
         pos += d
-    f0 *= 1.0 + 0.01 * rng.randn(total)  # jitter
+    if not deterministic:
+        f0 *= 1.0 + 0.01 * rng.randn(total)  # jitter
     # zero out unvoiced frames
     voiced = np.zeros(total, bool)
     pos = 0
@@ -353,10 +373,12 @@ def _write_textgrid(path: str, phones, durs):
 
 def _write_utterance(spk_dir: str, tg_path: str, base: str, rng,
                      n_words, f0_base: float,
-                     profile: dict | None = None) -> list[str]:
+                     profile: dict | None = None,
+                     deterministic_prosody: bool = False) -> list[str]:
     """Render + write one utterance (wav, lab, TextGrid); returns phones."""
     phones, durs = sample_utterance(rng, n_words)
-    f0 = f0_contour(phones, durs, rng, base=f0_base)
+    f0 = f0_contour(phones, durs, rng, base=f0_base,
+                    deterministic=deterministic_prosody)
     wav = synthesize(phones, durs, f0, rng, profile=profile)
     write_wav(os.path.join(spk_dir, f"{base}.wav"), wav, SR)
     with open(os.path.join(spk_dir, f"{base}.lab"), "w") as f:
@@ -369,8 +391,15 @@ def _write_utterance(spk_dir: str, tg_path: str, base: str, rng,
 def generate_corpus(raw_root: str, pre_root: str, n_utts: int = 200,
                     seed: int = 1234, speaker: str = "SYN",
                     n_words: tuple[int, int] = (3, 7),
-                    base_f0_range: tuple[float, float] = (150.0, 210.0)):
-    """Write the full corpus; returns the list of basenames."""
+                    base_f0_range: tuple[float, float] = (150.0, 210.0),
+                    deterministic_prosody: bool = False):
+    """Write the full corpus; returns the list of basenames.
+
+    ``deterministic_prosody`` additionally pins the per-utterance base
+    f0 to the midpoint of ``base_f0_range`` — the random per-utterance
+    register (uniform over a ±~290-cent spread) is exactly the
+    text-unpredictable component the round-4 pitch diagnosis attributed
+    the stats-head error to."""
     spk_dir = os.path.join(raw_root, speaker)
     tg_dir = os.path.join(pre_root, "TextGrid", "LJSpeech")
     os.makedirs(spk_dir, exist_ok=True)
@@ -379,8 +408,12 @@ def generate_corpus(raw_root: str, pre_root: str, n_utts: int = 200,
     for i in range(n_utts):
         rng = np.random.RandomState(seed + i)
         base = f"syn{i:04d}"
+        f0_base = (0.5 * (base_f0_range[0] + base_f0_range[1])
+                   if deterministic_prosody
+                   else rng.uniform(*base_f0_range))
         _write_utterance(spk_dir, os.path.join(tg_dir, f"{base}.TextGrid"),
-                         base, rng, n_words, rng.uniform(*base_f0_range))
+                         base, rng, n_words, f0_base,
+                         deterministic_prosody=deterministic_prosody)
         names.append(base)
     return names
 
@@ -390,7 +423,8 @@ def generate_multispeaker_corpus(raw_root: str, pre_root: str,
                                  utts_per_speaker: int = 40,
                                  seed: int = 7777,
                                  n_words: tuple[int, int] = (3, 7),
-                                 holdout_speakers: int = 1):
+                                 holdout_speakers: int = 1,
+                                 deterministic_prosody: bool = False):
     """VCTK-layout multi-speaker corpus with per-speaker voice profiles.
 
     Speakers ``v00 .. v{N-1}``; the LAST ``holdout_speakers`` are written
@@ -430,9 +464,11 @@ def generate_multispeaker_corpus(raw_root: str, pre_root: str,
         for ui in range(utts_per_speaker):
             rng = np.random.RandomState(seed + si * 100003 + ui)
             base = f"{spk}_{ui:03d}"
-            f0_base = profile["f0_base"] * rng.uniform(0.95, 1.05)
+            f0_base = (profile["f0_base"] if deterministic_prosody
+                       else profile["f0_base"] * rng.uniform(0.95, 1.05))
             phones = _write_utterance(
                 spk_dir, os.path.join(tg_dir, f"{base}.TextGrid"),
-                base, rng, n_words, f0_base, profile=profile)
+                base, rng, n_words, f0_base, profile=profile,
+                deterministic_prosody=deterministic_prosody)
             names[(spk, base)] = phones
     return train_spk, hold_spk, names

@@ -57,6 +57,7 @@ class Synthesizer:
         vocoder_params=None,
         T: int = 1,
         sampler: str | None = None,
+        sample_steps: int = 2,
         text_buckets: Sequence[int] = DEFAULT_TEXT_BUCKETS,
         mel_buckets: Sequence[int] = DEFAULT_MEL_BUCKETS,
         compute_dtype=jnp.bfloat16,
@@ -113,6 +114,9 @@ class Synthesizer:
         if sampler is None:
             sampler = "onestep" if T == 1 else "multistep"
         self.sampler = sampler
+        # grid size for the ODE samplers (heun/euler/dpm/ancestral) —
+        # e.g. an edm diffusion teacher sampled with heun at ~18 levels
+        self.sample_steps = sample_steps
         self.sched = schedule_from_config(cfg)
         self.text_buckets = tuple(text_buckets)
         self.mel_buckets = tuple(mel_buckets)
@@ -127,6 +131,7 @@ class Synthesizer:
         vocoder_name = self.vocoder_name
         sampler = self.sampler
         T = self.T
+        steps = self.sample_steps
         cdt = self.compute_dtype
 
         @jax.jit
@@ -164,6 +169,7 @@ class Synthesizer:
             B = texts.shape[0]
             shape = (B, t_mel, model.cfg.stft.n_mel_channels)
             mel = sample_mel(denoise, shape, rng, sched, sampler, T=T,
+                             steps=steps,
                              ts=default_ts(T) if sampler == "multistep" else None)
             mel_lens = cond_out["mel_lens"]
             if vocode and vocoder_name in ("MelGAN", "melgan"):

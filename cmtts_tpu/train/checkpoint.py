@@ -74,6 +74,35 @@ def save_checkpoint(base_path: str, state: CMTrainState,
     return path
 
 
+def write_run_config(base_path: str, run_config: dict) -> str:
+    """Persist run-level flags that change the compute graph (ADVICE r4:
+    a --cwt_masked_std-trained checkpoint synthesized without the flag
+    silently reintroduces the ~350-cent train/infer standardization
+    mismatch).  JSON sidecar next to the step dirs rather than inside
+    the orbax payload (strings don't belong in a StandardSave tree, and
+    the sidecar is greppable)."""
+    import json
+
+    d = _ckpt_dir(base_path)
+    os.makedirs(d, exist_ok=True)
+    path = os.path.join(d, "run_config.json")
+    with open(path, "w") as f:
+        json.dump(run_config, f, indent=1, sort_keys=True)
+    return path
+
+
+def read_run_config(base_path: str) -> dict:
+    """Run-level flags recorded by train_cm (empty for checkpoints
+    predating the sidecar)."""
+    import json
+
+    path = os.path.join(_ckpt_dir(base_path), "run_config.json")
+    if os.path.isfile(path):
+        with open(path) as f:
+            return json.load(f)
+    return {}
+
+
 def list_checkpoint_steps(base_path: str) -> list[int]:
     d = _ckpt_dir(base_path)
     if not os.path.isdir(d):

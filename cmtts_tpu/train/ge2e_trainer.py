@@ -134,6 +134,13 @@ def ge2e_verification_eer(model: GE2EEncoder, params,
     embeds, labels = [], []
     for si, s in enumerate(ds.speakers):
         files = ds.files[s]
+        if not files:
+            # a validation speaker with zero .npy partials is a data-
+            # layout problem; skip it loudly instead of crashing inside
+            # rng.choice/np.stack mid-training
+            print(f"ge2e_verification_eer: speaker {s!r} has no partial "
+                  f"files under {ds.root} — skipped")
+            continue
         pick = rng.choice(len(files), min(max_per_speaker, len(files)),
                           replace=False)
         mels = np.stack([np.load(os.path.join(ds.root, s, files[i]))
@@ -142,6 +149,10 @@ def ge2e_verification_eer(model: GE2EEncoder, params,
         e /= np.linalg.norm(e, axis=1, keepdims=True) + 1e-12
         embeds.append(e)
         labels.extend([si] * len(e))
+    if len(embeds) < 2:
+        raise ValueError(
+            "ge2e_verification_eer needs >= 2 validation speakers with "
+            f"partial files; got {len(embeds)} (root={ds.root})")
     E = np.concatenate(embeds)
     y = np.asarray(labels)
     sim = E @ E.T

@@ -23,6 +23,7 @@ import optax
 from cmtts_tpu.cm.karras import KarrasSchedule
 from cmtts_tpu.cm.losses import (
     consistency_loss,
+    edm_loss,
     make_denoise_fn,
     masked_mel_l1,
     progdist_loss,
@@ -76,7 +77,9 @@ def make_train_step(model: CMTTS, cfg: Config, tx: optax.GradientTransformation,
                     num_scales: int, donate: bool = True,
                     teacher_params=None, remat: bool = False,
                     microbatch: int | None = None,
-                    compute_dtype=None, scan_steps: int | None = None):
+                    compute_dtype=None, scan_steps: int | None = None,
+                    teacher_sched: KarrasSchedule | None = None,
+                    edm_p_mean: float = -1.2, edm_p_std: float = 1.2):
     """Build the jitted train step.
 
     Signature: (state, batch, probs, rng, target_ema) ->
@@ -116,6 +119,12 @@ def make_train_step(model: CMTTS, cfg: Config, tx: optax.GradientTransformation,
     cross-device resharding in the scan).
     """
     sched = schedule_from_config(cfg)
+    if teacher_sched is None:
+        # CD against a CT teacher (round-4 stand-in) keeps boundary
+        # scalings; a TRUE diffusion (edm) teacher must be driven with
+        # the plain EDM scalings it was trained under — pass
+        # teacher_sched=KarrasSchedule(..., distillation=False)
+        teacher_sched = sched
     sil_ids = tuple(sil_phonemes_ids())
     apply_fn = make_apply_fn(model)
     if compute_dtype is not None:
@@ -155,14 +164,21 @@ def make_train_step(model: CMTTS, cfg: Config, tx: optax.GradientTransformation,
         b = mb["batch"]
         teacher_denoise = None
         if teacher_params is not None:
-            denoise = make_denoise_fn(apply_fn, sched)
+            denoise = make_denoise_fn(apply_fn, teacher_sched)
 
             def teacher_denoise(x_t, sigma):
                 out, _ = denoise(teacher_params, x_t, sigma, b,
                                  mb["rng_drop"], True)
                 return jax.lax.stop_gradient(out)
 
-        if training_mode == "progdist":
+        if training_mode == "edm":
+            # mb["indices"] carries the CONTINUOUS lognormal sigmas in
+            # edm mode (same pytree slot so the microbatch scan layout
+            # is mode-independent)
+            total, aux = edm_loss(
+                apply_fn, params, mb["x_start"], mb["noise"], mb["indices"],
+                b, cfg, sched, sil_ids, mb["rng_drop"])
+        elif training_mode == "progdist":
             total, aux = progdist_loss(
                 apply_fn, params, teacher_denoise, mb["x_start"], mb["noise"],
                 mb["indices"], num_scales, b, cfg, sched, sil_ids,
@@ -186,10 +202,19 @@ def make_train_step(model: CMTTS, cfg: Config, tx: optax.GradientTransformation,
         B = x_start.shape[0]
         rng_idx, rng_noise, rng_drop = jax.random.split(rng, 3)
 
-        indices = jax.random.categorical(rng_idx, jnp.log(probs)[None, :],
-                                         shape=(B,))
-        # unbiased importance weights 1/(K p_i) (resample.py:65-81)
-        weights = 1.0 / (probs.shape[0] * probs[indices])
+        if training_mode == "edm":
+            # continuous lognormal sigmas (reference LogNormalSampler,
+            # resample.py:240-260); schedule-sampler probs are unused
+            indices = jnp.clip(
+                jnp.exp(edm_p_mean
+                        + edm_p_std * jax.random.normal(rng_idx, (B,))),
+                sched.sigma_min, sched.sigma_max)
+            weights = jnp.ones((B,))
+        else:
+            indices = jax.random.categorical(
+                rng_idx, jnp.log(probs)[None, :], shape=(B,))
+            # unbiased importance weights 1/(K p_i) (resample.py:65-81)
+            weights = 1.0 / (probs.shape[0] * probs[indices])
         sv = batch.get("sample_valid")
         if sv is not None:
             # padded duplicate rows (pod batch padding): zero their cm
@@ -272,6 +297,16 @@ def make_train_step(model: CMTTS, cfg: Config, tx: optax.GradientTransformation,
             "indices": indices,
             "loss_per_sample": total,
         }
+        if training_mode != "edm" and num_scales - 1 <= 8:
+            # per-noise-level cm-loss curves — the mechanism by which the
+            # LSM sampler reweights (reference log_loss_dict quartiles,
+            # train_util.py:975-981; with start_scales=3 there are only
+            # 2 grid indices, so log each one).  Sum+count pairs so the
+            # host can form exact means over any logging window.
+            for ki in range(num_scales - 1):
+                msk = (indices == ki).astype(jnp.float32)
+                metrics[f"cm_i{ki}_sum"] = (aux["cm_loss"] * msk).sum()
+                metrics[f"cm_i{ki}_cnt"] = msk.sum()
         for k in ("pdur", "sdur", "C", "uv", "f0_mean", "f0_std", "energy", "f0"):
             if k in aux:
                 metrics[k] = aux[k]

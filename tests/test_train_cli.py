@@ -61,3 +61,74 @@ def test_train_cli_dp8_padded_lsm(tmp_path):
     ckpts = os.listdir(os.path.join(
         out, "output/ckpt/LJSpeech/CMDenoiserTTS"))
     assert any(c.startswith("step_") for c in ckpts), ckpts
+
+
+@pytest.mark.slow
+def test_train_cli_edm_then_distill(tmp_path):
+    """EDM diffusion-teacher training -> TRUE consistency distillation
+    from its EMA role -> heun synthesis from the teacher, all through
+    the real CLIs (the round-5 VERDICT #7 protocol, tiny scale)."""
+    env = {**os.environ,
+           "JAX_PLATFORMS": "cpu",
+           "XLA_FLAGS": "--xla_force_host_platform_device_count=1",
+           "DIFFUSION_TRAINING_TEST": "1"}
+    env.pop("PALLAS_AXON_POOL_IPS", None)
+    out = str(tmp_path / "corpus")
+
+    subprocess.run(
+        [sys.executable, os.path.join(REPO, "cli", "gen_corpus.py"),
+         "--out", out, "--n", "8", "--val_size", "2",
+         "--batch_size", "2", "--tiny", "--log_step", "2",
+         "--det_prosody"],
+        check=True, env=env, capture_output=True)
+    subprocess.run(
+        [sys.executable, os.path.join(REPO, "cli", "preprocess.py"),
+         "--dataset", "LJSpeech", "--config_root", f"{out}/config"],
+        check=True, env=env, capture_output=True)
+
+    r = subprocess.run(
+        [sys.executable, os.path.join(REPO, "cli", "train_cm.py"),
+         "--model", "edm", "--dataset", "LJSpeech",
+         "--config_root", f"{out}/config", "--total_step", "2",
+         "--weight_schedule", "karras", "--path_tag", "edm"],
+        env=env, capture_output=True, text=True, timeout=900)
+    assert r.returncode == 0, r.stdout[-2000:] + r.stderr[-2000:]
+
+    ckpt_root = os.path.join(out, "output/ckpt/LJSpeech_edm")
+    steps = sorted(os.listdir(os.path.join(ckpt_root, "CMDenoiserTTS")))
+    step_dirs = [s for s in steps if s.startswith("step_")]
+    assert step_dirs, steps
+    # run-config sidecar recorded the edm mode (ADVICE r4 persistence)
+    import json
+    rc = json.load(open(os.path.join(ckpt_root, "CMDenoiserTTS",
+                                     "run_config.json")))
+    assert rc["training_mode"] == "edm"
+    teacher = os.path.join(ckpt_root, "CMDenoiserTTS", step_dirs[-1])
+    step_n = int(step_dirs[-1].split("_")[1])
+
+    # heun synthesis from the edm teacher (plain scalings adopted from
+    # the sidecar — no --model flag needed)
+    r = subprocess.run(
+        [sys.executable, os.path.join(REPO, "cli", "synthesize.py"),
+         "--mode", "batch", "--source", f"{out}/pre/val.txt",
+         "--dataset", "LJSpeech", "--config_root", f"{out}/config",
+         "--T", "1", "--sampler", "heun", "--sample_steps", "4",
+         "--restore_step", str(step_n), "--vocoder", "none",
+         "--params_role", "target_model", "--path_tag", "edm"],
+        env=env, capture_output=True, text=True, timeout=900)
+    assert r.returncode == 0, r.stdout[-2000:] + r.stderr[-2000:]
+    syn = os.path.join(out, "output/result/LJSpeech_cm_edm",
+                       f"step_{step_n}_T1_heun4")
+    assert any(f.endswith("-mel.npy") for f in os.listdir(syn))
+
+    # TRUE consistency distillation from the teacher's EMA role; the
+    # edm teacher scaling choice must be auto-detected from the sidecar
+    r = subprocess.run(
+        [sys.executable, os.path.join(REPO, "cli", "train_cm.py"),
+         "--model", "consistency_distillation",
+         "--teacher_path", teacher, "--teacher_role", "target_model",
+         "--dataset", "LJSpeech", "--config_root", f"{out}/config",
+         "--total_step", "2", "--path_tag", "cdedm"],
+        env=env, capture_output=True, text=True, timeout=900)
+    assert r.returncode == 0, r.stdout[-2000:] + r.stderr[-2000:]
+    assert "edm scalings" in r.stdout, r.stdout[-2000:]

@@ -31,8 +31,13 @@ def device_peak_flops() -> float | None:
     import jax
 
     kind = jax.devices()[0].device_kind.lower()
-    table = (("v5 lite", 197e12), ("v5e", 197e12), ("v5p", 459e12),
-             ("v4", 275e12), ("v6", 918e12), ("v3", 123e12), ("v2", 46e12))
+    # specific variants only — a bare family prefix ('v6') must NOT
+    # match, or an unknown future variant would inherit another chip's
+    # peak and skew MFU (ADVICE r4); unknowns return None so the bench
+    # reports raw FLOPs without a bogus percentage
+    table = (("v5 lite", 197e12), ("v5litepod", 197e12), ("v5e", 197e12),
+             ("v5p", 459e12), ("v6 lite", 918e12), ("v6e", 918e12),
+             ("v4", 275e12), ("v3", 123e12), ("v2", 46e12))
     for key, peak in table:
         if key in kind:
             return peak

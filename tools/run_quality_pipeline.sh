@@ -18,6 +18,8 @@ CT_STEPS=${CT_STEPS:-6000}
 CD_STEPS=${CD_STEPS:-4000}
 RUN_VOCODER=${RUN_VOCODER:-1}
 RUN_CD=${RUN_CD:-1}
+GEN_ARGS=${GEN_ARGS:-}      # extra cli/gen_corpus.py args (e.g. --det_prosody)
+CT_ARGS=${CT_ARGS:-}        # extra cli/train_cm.py args (e.g. --cwt_masked_std)
 CPU_ENV=(env -u PALLAS_AXON_POOL_IPS JAX_PLATFORMS=cpu)
 
 stage() { # stage <name> <cmd...>
@@ -34,14 +36,14 @@ mkdir -p "$CORPUS"
 
 stage corpus "${CPU_ENV[@]}" python cli/gen_corpus.py --out "$CORPUS" \
     --n "$N" --val_size "$VAL" --batch_size "$BATCH" \
-    --save_step 2000 --log_step 200
+    --save_step 2000 --log_step 200 $GEN_ARGS
 
 stage preprocess "${CPU_ENV[@]}" python cli/preprocess.py \
     --dataset LJSpeech --config_root "$CORPUS/config" --workers 8
 
 stage train_ct python cli/train_cm.py --model consistency_training \
     --dataset LJSpeech --config_root "$CORPUS/config" \
-    --total_step "$CT_STEPS" --bf16 --steps_per_call 8
+    --total_step "$CT_STEPS" --bf16 --steps_per_call 8 $CT_ARGS
 
 synth_all_T() {
   for T in 1 2 4; do
