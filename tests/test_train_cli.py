@@ -77,7 +77,7 @@ def test_train_cli_edm_then_distill(tmp_path):
 
     subprocess.run(
         [sys.executable, os.path.join(REPO, "cli", "gen_corpus.py"),
-         "--out", out, "--n", "8", "--val_size", "2",
+         "--out", out, "--n", "12", "--val_size", "2",
          "--batch_size", "2", "--tiny", "--log_step", "2",
          "--det_prosody"],
         check=True, env=env, capture_output=True)
