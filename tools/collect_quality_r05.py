@@ -222,7 +222,9 @@ def main() -> None:
             os.path.join(args.det, "metrics_cdedm.txt")) or "absent",
     }
 
-    # --- sampler ablation: 3 samplers x 2 seeds x 20k ---
+    # --- sampler ablation: 20k x 2 seeds (uniform, LSM) on qcorp; the
+    # linear12/seed-42/20k point IS the main qcorp CT run (identical
+    # protocol: same corpus, steps, batch, config default sampler) ---
     abl: dict = {}
     for samp, tag in (("uniform", "uni"), ("linear12", "l12"),
                       ("loss-second-moment", "lsm")):
@@ -233,13 +235,26 @@ def main() -> None:
             if vals:
                 runs[f"seed{seed}"] = vals
             curve = per_level_loss_curve(os.path.join(
-                args.det, "output", "log",
+                args.qc, "output", "log",
                 f"LJSpeech_cm_abl_{tag}_s{seed}", "train", "progress.csv"))
             if curve:
                 runs[f"seed{seed}_loss_curve_per_level"] = curve
+        if samp == "linear12":
+            ct = parse_metrics_txt(os.path.join(args.qc, "metrics_ct_gl.txt"))
+            main = ct.get(f"step_{args.ct_steps}_T1 (griffinlim)") or \
+                ct.get(f"step_{args.ct_steps}_T1")
+            if main:
+                runs["seed42"] = main
+                runs["seed42_note"] = (
+                    "= the main qcorp CT run (config default sampler is "
+                    "linear12, seed 42, same corpus/steps/batch)")
+            curve = per_level_loss_curve(os.path.join(
+                args.qc, "output", "log", "LJSpeech_cm", "train",
+                "progress.csv"))
+            if curve:
+                runs["seed42_loss_curve_per_level"] = curve
         if runs:
-            keys = [k for k in runs if k.startswith("seed") and
-                    "curve" not in k]
+            keys = [k for k in runs if re.fullmatch(r"seed\d+", k)]
             if len(keys) == 2:
                 a, b = (runs[k] for k in keys)
                 runs["seed_mean"] = {m: round((a[m] + b[m]) / 2, 4)
@@ -247,7 +262,7 @@ def main() -> None:
                 runs["seed_spread"] = {m: round(abs(a[m] - b[m]), 4)
                                        for m in a if m in b}
             abl[samp] = runs
-    artifact["sampler_ablation_20k_2seeds_T1"] = abl or "absent"
+    artifact["sampler_ablation_20k_T1"] = abl or "absent"
 
     # --- zero-shot identity (redo3: 130 voices, like-for-like gate) ---
     zs: dict = {}
