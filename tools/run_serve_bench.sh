@@ -61,16 +61,18 @@ cat /tmp/serve_prime.json
 python tools/bench_serve.py --url "http://127.0.0.1:$PORT" \
     --concurrency 1 2 4 8 --requests 32 --out /tmp/serve_rows.json
 
-python - "$OUT" <<'EOF'
+python - "$OUT" "${ROUND:-5}" "$VOC" <<'EOF'
 import json, sys, os
 rows = json.load(open("/tmp/serve_rows.json"))
 json.dump({
-  "round": 4,
+  "round": int(sys.argv[2]),
   "protocol": ("cli/serve.py on the real chip (target_model role of the "
-               "round-4 quality checkpoint, T=1, batch_window_ms=20, "
-               "max_batch=8) driven by tools/bench_serve.py: 32 requests "
-               "per concurrency level over live HTTP; batch_hist is the "
-               "server-reported per-sweep coalescing histogram"),
+               "quality checkpoint, T=1, batch_window_ms=20, max_batch=8, "
+               f"vocoder={sys.argv[3]}) driven by tools/bench_serve.py: "
+               "32 requests per concurrency level over live HTTP after a "
+               "discarded priming sweep over every concurrency level "
+               "(all batch buckets compiled before timing); batch_hist "
+               "is the server-reported per-sweep coalescing histogram"),
   "device": "TPU v5e (1 chip)",
   "sweep": rows,
 }, open(sys.argv[1], "w"), indent=1)
