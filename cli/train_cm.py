@@ -402,6 +402,7 @@ def main():
     step = step0 + 1  # first step of the upcoming window
     t_last = time.perf_counter()
     steps_since_log = 0
+    prev_sync = None  # previous window's loss: in-flight dispatch bound
     profiling = False
     gl_cached = None  # Griffin-Lim built once, reused across audio logs
 
@@ -448,6 +449,18 @@ def main():
             emas = jnp.asarray([ema_scale_fn(s)[0]
                                 for s in range(step, step + K)])
             state, metrics = train_step(state, sharded, probs, sub, emas)
+
+        # bound in-flight dispatches: sync on the PREVIOUS window's loss
+        # so exactly one window stays in flight (transfer of window n
+        # still overlaps compute of n-1).  Without this the tunneled
+        # device client accepts every enqueued window's host->device
+        # transfer without backpressure — observed at 20k steps: ~110 GB
+        # host RSS (the entire remaining feed staged in client buffers)
+        # followed by a wedged run.  Cost: one scalar round-trip per
+        # window (~25 ms against ~1 s windows).
+        if prev_sync is not None:
+            float(prev_sync if np.ndim(prev_sync) == 0 else prev_sync[-1])
+        prev_sync = metrics["loss"]
 
         if sampler.needs_update:
             # globally sharded per-sample outputs -> full global value on
