@@ -59,7 +59,12 @@ def main():
     parser.add_argument("--p_std", type=float, default=1.2,
                         help="edm mode: lognormal sigma std")
     parser.add_argument("--dataset", type=str, required=True)
-    parser.add_argument("--restore_step", type=int, default=0)
+    parser.add_argument("--restore_step", type=int, default=0,
+                        help="checkpoint step to resume from; -1 = "
+                             "auto-resume from the latest COMPLETE "
+                             "checkpoint in this run's ckpt dir (fresh "
+                             "start if none) — makes queued runs "
+                             "crash-restartable")
     parser.add_argument("--path_tag", type=str, default="")
     parser.add_argument("--config_root", type=str, default=None)
     parser.add_argument("--total_step", type=int, default=None,
@@ -232,6 +237,11 @@ def main():
 
     rng = jax.random.PRNGKey(cm.seed)
     step0 = args.restore_step
+    if step0 < 0:
+        from cmtts_tpu.train.checkpoint import latest_complete_step
+        step0 = latest_complete_step(cfg.train.ckpt_path)
+        print(f"==> auto-resume: "
+              f"{f'step {step0}' if step0 else 'no checkpoint, fresh start'}")
     if step0 > 0:
         payload = restore_checkpoint(cfg.train.ckpt_path, step0)
         state = state_from_payload(payload, tx, len(cm.ema_rate))

@@ -115,6 +115,23 @@ def list_checkpoint_steps(base_path: str) -> list[int]:
     return sorted(steps)
 
 
+def latest_complete_step(base_path: str) -> int:
+    """Highest step whose checkpoint finished committing (0 if none).
+
+    Completeness = Orbax's commit marker ``_CHECKPOINT_METADATA`` exists
+    inside the step dir, so a run killed mid-async-save never resumes
+    from a half-written directory.  Used by ``--restore_step -1``
+    (auto-resume) in cli/train_cm.py.
+    """
+    best = 0
+    for s in list_checkpoint_steps(base_path):
+        p = os.path.join(_ckpt_dir(base_path), f"step_{s:08d}",
+                         "_CHECKPOINT_METADATA")
+        if os.path.exists(p):
+            best = max(best, s)
+    return best
+
+
 def restore_checkpoint(base_path: str, step: int | None = None,
                        template: Any = None) -> dict:
     """Restore a step dir (latest if step is None).  ``template`` is an

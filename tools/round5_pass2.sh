@@ -127,7 +127,7 @@ abl_one() { # abl_one <sampler> <seed> <tag>
   local SAMP=$1 SEED=$2 TAG=$3
   python cli/train_cm.py --model consistency_training --dataset LJSpeech \
       --config_root "$QC/config" --total_step 20000 --bf16 \
-      --steps_per_call 8 --schedule_sampler "$SAMP" --seed "$SEED" \
+      --steps_per_call 8 --restore_step -1 --schedule_sampler "$SAMP" --seed "$SEED" \
       --log_every 1000 --path_tag "$TAG" \
   && python cli/synthesize.py --mode batch --source "$QC/pre/val.txt" \
       --dataset LJSpeech --config_root "$QC/config" --T 1 \
@@ -146,7 +146,7 @@ run abl_uni_s1337 abl_one uniform            1337 abl_uni_s1337
 # ---- 4. EDM teacher + true CD (reduced scale, cold compiles) ---------
 run edm_teacher python cli/train_cm.py --model edm --dataset LJSpeech \
     --config_root "$DET/config" --total_step 12000 --bf16 \
-    --steps_per_call 8 --weight_schedule karras --cwt_masked_std \
+    --steps_per_call 8 --restore_step -1 --weight_schedule karras --cwt_masked_std \
     --path_tag edm
 
 edm_synth_metrics() {
@@ -165,7 +165,7 @@ run cd_edm python cli/train_cm.py --model consistency_distillation \
     --teacher_path "$DET/output/ckpt/LJSpeech_edm/CMDenoiserTTS/step_00012000" \
     --teacher_role target_model --dataset LJSpeech \
     --config_root "$DET/config" --total_step 6000 --bf16 \
-    --steps_per_call 8 --cwt_masked_std --path_tag cdedm
+    --steps_per_call 8 --restore_step -1 --cwt_masked_std --path_tag cdedm
 
 cdedm_synth_metrics() {
   : > "$DET/metrics_cdedm.txt"

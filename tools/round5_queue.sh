@@ -115,7 +115,7 @@ run det_vocode det_vocode
 # ---- 3. EDM diffusion teacher + TRUE consistency distillation ---------
 run edm_teacher python cli/train_cm.py --model edm --dataset LJSpeech \
     --config_root "$DET/config" --total_step 20000 --bf16 \
-    --steps_per_call 8 --weight_schedule karras --cwt_masked_std \
+    --steps_per_call 8 --restore_step -1 --weight_schedule karras --cwt_masked_std \
     --path_tag edm
 
 edm_synth_metrics() {
@@ -135,7 +135,7 @@ run cd_edm python cli/train_cm.py --model consistency_distillation \
     --teacher_path "$DET/output/ckpt/LJSpeech_edm/CMDenoiserTTS/step_00020000" \
     --teacher_role target_model --dataset LJSpeech \
     --config_root "$DET/config" --total_step 8000 --bf16 \
-    --steps_per_call 8 --cwt_masked_std --path_tag cdedm
+    --steps_per_call 8 --restore_step -1 --cwt_masked_std --path_tag cdedm
 
 cdedm_synth_metrics() {
   : > "$DET/metrics_cdedm.txt"
@@ -181,7 +181,7 @@ abl_one() { # abl_one <sampler> <seed> <tag>
   local SAMP=$1 SEED=$2 TAG=$3
   python cli/train_cm.py --model consistency_training --dataset LJSpeech \
       --config_root "$DET/config" --total_step 20000 --bf16 \
-      --steps_per_call 8 --schedule_sampler "$SAMP" --seed "$SEED" \
+      --steps_per_call 8 --restore_step -1 --schedule_sampler "$SAMP" --seed "$SEED" \
       --cwt_masked_std --path_tag "$TAG" \
   && python cli/synthesize.py --mode batch --source "$DET/pre/val.txt" \
       --dataset LJSpeech --config_root "$DET/config" --T 1 \

@@ -43,7 +43,8 @@ stage preprocess "${CPU_ENV[@]}" python cli/preprocess.py \
 
 stage train_ct python cli/train_cm.py --model consistency_training \
     --dataset LJSpeech --config_root "$CORPUS/config" \
-    --total_step "$CT_STEPS" --bf16 --steps_per_call 8 $CT_ARGS
+    --total_step "$CT_STEPS" --bf16 --steps_per_call 8 \
+    --restore_step -1 $CT_ARGS
 
 synth_all_T() {
   for T in 1 2 4; do
@@ -80,7 +81,7 @@ if [ "$RUN_CD" = "1" ]; then
   stage train_cd python cli/train_cm.py --model consistency_distillation \
       --teacher_path "$TEACHER" --path_tag cd \
       --dataset LJSpeech --config_root "$CORPUS/config" \
-      --total_step "$CD_STEPS" --bf16 --steps_per_call 8
+      --total_step "$CD_STEPS" --bf16 --steps_per_call 8 --restore_step -1
 
   cd_synth() {
     for T in 1 2 4; do

@@ -18,7 +18,7 @@ mkdir -p "$OUT"
 
 echo "== train HiFi-GAN ($STEPS steps, batch 16, paper-scale) =="
 python cli/train_hifigan.py --wav_root "$CORPUS/raw" \
-    --work_dir "$OUT/hifigan" --total_steps "$STEPS" \
+    --work_dir "$OUT/hifigan" --total_steps "$STEPS" --resume \
     --save_every 5000 --log_every 200 2>&1 | tee "$OUT/train_hifigan.log" | tail -20
 GEN=$(ls "$OUT"/hifigan/hifigan_gen_*.npz | tail -1)
 echo "== generator: $GEN =="

@@ -25,7 +25,8 @@ mkdir -p "$OUT"
 echo "== train CT ($STEPS steps, bf16, K=8) =="
 python cli/train_cm.py --model consistency_training --dataset VCTK \
     --config_root "$CORPUS/config" --bf16 --steps_per_call 8 \
-    --total_step "$STEPS" 2>&1 | tee "$OUT/train.log" | grep -E "==>|loss" | tail -40
+    --total_step "$STEPS" --restore_step -1 \
+    2>&1 | tee "$OUT/train.log" | grep -E "==>|loss" | tail -40
 
 # the K-step driver finishes at the end of the window containing
 # total_step — restore whatever step was actually saved
