@@ -64,6 +64,13 @@ def main():
                          "their own centroid above every train centroid")
     ap.add_argument("--min_margin", type=float, default=0.0,
                     help="min mean (cos_own - max cos_train) margin")
+    ap.add_argument("--train_limit", type=int, default=8,
+                    help="utterances per train speaker for the centroid "
+                         "(more = less estimator noise in max cos_train)")
+    ap.add_argument("--holdout_limit", type=int, default=12,
+                    help="holdout utterances per speaker to rank (more = "
+                         "tighter leave-one-out centroid and more "
+                         "statistical power at the top-1 threshold)")
     ap.add_argument("--out", default=None)
     args = ap.parse_args()
 
@@ -77,7 +84,7 @@ def main():
         sdir = os.path.join(args.train_root, spk)
         if not os.path.isdir(sdir):
             continue
-        c = _embed_speaker(inf, sdir, limit=8).mean(axis=0)
+        c = _embed_speaker(inf, sdir, limit=args.train_limit).mean(axis=0)
         train_cent[spk] = c / (np.linalg.norm(c) + 1e-12)
     names = list(train_cent)
     T = np.stack([train_cent[s] for s in names])
@@ -96,7 +103,7 @@ def main():
         sdir = os.path.join(args.holdout_root, spk)
         if not os.path.isdir(sdir):
             continue
-        E = _embed_speaker(inf, sdir)
+        E = _embed_speaker(inf, sdir, limit=args.holdout_limit)
         n = len(E)
         top1, margins = 0, []
         for i in range(n):

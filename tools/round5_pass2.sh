@@ -1,190 +1,119 @@
 #!/usr/bin/env bash
-# Round-5 pass 2 — the stages deferred from tools/round5_queue.sh pass 1
-# (pass 1 = qcorp quality + maskstd A/B + serve + bench, the VERDICT's
-# top-priority artifacts).  Pass 2 runs, in VERDICT priority order, with
-# CPU stages overlapped against chip stages:
-#
-#   1. zero-shot redo3 chip stages (GE2E -> gate -> preprocess(CPU,
-#      backgrounded) -> CT-8k -> synthesis -> identity eval)
-#   2. det-prosody flagship CT leg (corpus pre-staged on CPU in pass 1)
-#   3. LSM ablation 20k x 2 seeds (uniform, LSM) on qcorp — graphs are
-#      warm from the pass-1 CT run; linear12/s42/20k = the pass-1 run
-#   4. EDM diffusion teacher (12k) + true CD (6k) — reduced step count:
-#      both graphs compile cold and sit lowest in the VERDICT ranking
-#
-# Same marker scheme as pass 1 ($LOGS/.r5_<name>.done).
+# Round-5 pass 2 — relaunch after the 07:52 process kill, reorganized for
+# the remaining ~2.7h of chip time. Differences vs rev C
+# (tools/round5_pass1c.sh):
+#   * The HiFi-GAN vocoder leg runs in its OWN chip lane, concurrent with
+#     the CT tail (the axon tunnel multiplexes clients at ~70% speed
+#     each) — rev C ran them serially and would not have fit.
+#   * zs_preprocess (pure CPU) restarts immediately; it failed earlier
+#     only because the GE2E embedder did not exist yet.
+#   * zs gate / chip leg decisions are made interactively by the
+#     session, not hardcoded here (the rev-C gate failed at top1 0.667).
+# Every stage keeps the marker-resume pattern so a crash or stall-guard
+# kill loses nothing.
 set -uo pipefail
 cd "$(dirname "$0")/.."
 
 QC=${QC:-/tmp/qcorp}
-DET=${DET:-/tmp/qcorp_det}
 VOC_OUT=${VOC_OUT:-/tmp/voc_run}
 ZS=${ZS:-/tmp/zscorp4}
-ZSWORK=${ZSWORK:-/tmp/zs_redo3}
 LOGS=${LOGS:-/tmp/r5_logs}
-mkdir -p "$LOGS" "$ZSWORK"
+DEADLINE=${DEADLINE:?epoch seconds}
+mkdir -p "$LOGS"
 
+log() { echo "$(date -u +%H:%M:%S) $*" >> "$LOGS/pass2.log"; }
+
+# run <name> <cmd...>: marker-gated, retry-looped until DEADLINE
 run() {
   local name=$1; shift
   local marker="$LOGS/.r5_$name.done"
-  if [ -f "$marker" ]; then echo "== [$name] already done =="; return 0; fi
-  echo "== [$name] start $(date -u +%H:%M:%S) =="
-  if "$@" >"$LOGS/$name.log" 2>&1; then
-    touch "$marker"
-    echo "== [$name] done  $(date -u +%H:%M:%S) =="
-  else
-    echo "== [$name] FAILED (see $LOGS/$name.log) =="
-    return 1
-  fi
+  while [ ! -f "$marker" ] && [ "$(date +%s)" -lt "$DEADLINE" ]; do
+    log "[$name] start"
+    if "$@" >>"$LOGS/$name.log" 2>&1; then
+      touch "$marker"; log "[$name] done"
+    else
+      log "[$name] FAILED (see $LOGS/$name.log), retrying in 15s"
+      sleep 15
+    fi
+  done
+  [ -f "$marker" ]
+}
+
+wait_marker() { # wait_marker <path> [timeout_s]
+  local t=${2:-7200} i=0
+  while [ ! -f "$1" ] && [ "$i" -lt "$t" ] && [ "$(date +%s)" -lt "$DEADLINE" ]; do
+    sleep 10; i=$((i+10))
+  done
+  [ -f "$1" ]
 }
 
 CPU_ENV=(env -u PALLAS_AXON_POOL_IPS JAX_PLATFORMS=cpu)
 
-metrics_dir() { # metrics_dir <syn_dir> <raw_dir> <out_txt> <label>
-  echo "-- $4 --" | tee -a "$3"
-  python cli/all_metrics.py --single --syn_root "$1" \
-      --raw_folder "$2" --data_type LJSpeech \
-      --metrics mcd mcd_dctmel ffe ssim f0_rmse 2>&1 | tail -6 | tee -a "$3"
+# ---------------- CPU lane: zero-shot preprocess -----------------------
+zs_cpu_lane() {
+  run zs_preprocess "${CPU_ENV[@]}" python cli/preprocess.py \
+      --dataset VCTK --config_root "$ZS/config" \
+      --embedder_ckpt "$ZS/ge2e/ge2e_params.npy" --workers 1
 }
 
-# pass 1 pre-marked these to defer them; clear so pass 2 runs them
-for s in zs_ge2e zs_gate zs_preprocess zs_chip det_pipeline det_vocode \
-         edm_teacher edm_synth cd_edm cdedm_synth \
-         abl_uni_s42 abl_uni_s1337 abl_lsm_s42 abl_lsm_s1337; do
-  [ -f "$LOGS/.r5_${s}.deferred_cleared" ] || {
-    rm -f "$LOGS/.r5_${s}.done"; touch "$LOGS/.r5_${s}.deferred_cleared"; }
-done
-
-# ---- 1. zero-shot: GE2E on chip, then preprocess on CPU in parallel
-#         with the det chip leg ---------------------------------------
-run zs_ge2e python cli/train_ge2e.py --wav_root "$ZS/raw" \
-    --work_dir "$ZS/ge2e" --total_steps 12000 --val_speakers 6 \
-    --eval_every 500 --patience 4
-
-run zs_gate "${CPU_ENV[@]}" python tools/check_ge2e_holdout.py \
-    --embedder_ckpt "$ZS/ge2e/ge2e_params.npy" \
-    --holdout_root "$ZS/raw_holdout" --train_root "$ZS/raw" \
-    --min_top1 0.75 --min_margin 0.0 --out "$ZSWORK/ge2e_gate.json"
-
-if [ ! -f "$LOGS/.r5_zs_preprocess.done" ]; then
-  ( if "${CPU_ENV[@]}" python cli/preprocess.py --dataset VCTK \
-        --config_root "$ZS/config" \
-        --embedder_ckpt "$ZS/ge2e/ge2e_params.npy" --workers 1 \
-        >"$LOGS/zs_preprocess.log" 2>&1; then
-      touch "$LOGS/.r5_zs_preprocess.done"
-    fi ) &
-  echo "== [zs_preprocess] running in CPU lane (pid $!) =="
-fi
-
-# ---- 2. det-prosody flagship CT leg (chip; corpus already staged) ----
-run det_pipeline env CORPUS="$DET" CT_STEPS=20000 RUN_VOCODER=0 RUN_CD=0 \
-    GEN_ARGS="--det_prosody" CT_ARGS="--cwt_masked_std" \
-    bash tools/run_quality_pipeline.sh
-
-det_vocode() {
-  local GEN
-  GEN=$(ls "$VOC_OUT"/hifigan/hifigan_gen_*.npz | tail -1)
-  : > "$DET/metrics_det_hifigan.txt"
-  for T in 1 2 4; do
-    local SRC="step_20000_T${T}"
-    python tools/vocode_dir.py \
-        --mel_dir "$DET/output/result/LJSpeech_cm/$SRC" \
-        --ckpt "$GEN" --out "$DET/hifigan_$SRC" || return 1
-    metrics_dir "$DET/hifigan_$SRC" "$DET/raw/SYN" \
-        "$DET/metrics_det_hifigan.txt" "det hifigan_$SRC"
-  done
-  mkdir -p "$DET/gtmel"
-  python - "$DET" <<'EOF'
+# ---------------- chip lane V: HiFi-GAN vocoder ------------------------
+voc_lane() {
+  run voc_train python cli/train_hifigan.py --wav_root "$QC/raw" \
+      --work_dir "$VOC_OUT/hifigan" --total_steps 10000 --resume \
+      --save_every 2500 --log_every 200
+  # vocode the CM val mels once the main lane has synthesized them
+  wait_marker "$QC/.stage_synth_ct.done" || return 0
+  voc_eval() {
+    local GEN
+    GEN=$(ls "$VOC_OUT"/hifigan/hifigan_gen_*.npz | tail -1) || return 1
+    for T in 1 2 4; do
+      python tools/vocode_dir.py \
+          --mel_dir "$QC/output/result/LJSpeech_cm/step_20000_T${T}" \
+          --ckpt "$GEN" --out "$VOC_OUT/hifigan_step_20000_T${T}" || return 1
+    done
+    mkdir -p "$VOC_OUT/gtmel"
+    python - "$QC" "$VOC_OUT" <<'EOF'
 import os, shutil, sys
-det = sys.argv[1]
-val = [l.split("|")[0] for l in open(os.path.join(det, "pre", "val.txt"))]
+corpus, out = sys.argv[1], sys.argv[2]
+val = [l.split("|")[0] for l in open(os.path.join(corpus, "pre", "val.txt"))]
 for b in val:
-    shutil.copy(os.path.join(det, "pre", "mel", f"SYN-mel-{b}.npy"),
-                os.path.join(det, "gtmel", f"SYN-mel-{b}.npy"))
+    shutil.copy(os.path.join(corpus, "pre", "mel", f"SYN-mel-{b}.npy"),
+                os.path.join(out, "gtmel", f"SYN-mel-{b}.npy"))
 EOF
-  python tools/vocode_dir.py --mel_dir "$DET/gtmel" --ckpt "$GEN" \
-      --out "$DET/hifigan_gtmel" || return 1
-  metrics_dir "$DET/hifigan_gtmel" "$DET/raw/SYN" \
-      "$DET/metrics_det_hifigan.txt" "det hifigan_gtmel (floor)"
+    python tools/vocode_dir.py --mel_dir "$VOC_OUT/gtmel" --ckpt "$GEN" \
+        --out "$VOC_OUT/hifigan_gtmel" || return 1
+    : > "$VOC_OUT/metrics.txt"
+    for D in hifigan_step_20000_T1 hifigan_step_20000_T2 \
+             hifigan_step_20000_T4 hifigan_gtmel; do
+      echo "-- $D --" | tee -a "$VOC_OUT/metrics.txt"
+      "${CPU_ENV[@]}" python cli/all_metrics.py --single \
+          --syn_root "$VOC_OUT/$D" --raw_folder "$QC/raw/SYN" \
+          --data_type LJSpeech \
+          --metrics mcd mcd_dctmel ffe ssim f0_rmse 2>&1 | tail -6 \
+          | tee -a "$VOC_OUT/metrics.txt"
+    done
+  }
+  run voc_eval voc_eval
 }
-run det_vocode det_vocode
 
-# ---- back to zero-shot: chip CT once preprocess lands ---------------
-zs_wait_preprocess() {
-  for i in $(seq 1 720); do
-    [ -f "$LOGS/.r5_zs_preprocess.done" ] && return 0
-    sleep 10
-  done
-  echo "zs preprocess never finished"; return 1
+# ---------------- chip lane M: main quality sequence -------------------
+main_lane() {
+  run qA env CORPUS="$QC" CT_STEPS=20000 RUN_VOCODER=0 RUN_CD=0 \
+      bash tools/run_quality_pipeline.sh
+  run collect1 python tools/collect_quality_r05.py --out QUALITY_r05.json
+
+  # maskstd A/B needs the trained generator for its neural-vocoded side
+  wait_marker "$LOGS/.r5_voc_train.done" || return 0
+  run maskstd_ab env CORPUS="$QC" CT_STEPS=20000 VOC_OUT="$VOC_OUT" \
+      bash tools/run_maskstd_ab.sh
+  run collect2 python tools/collect_quality_r05.py --out QUALITY_r05.json
 }
-run zs_wait2 zs_wait_preprocess
 
-run zs_chip env CORPUS="$ZS" STEPS=8000 OUT="$ZSWORK" \
-    bash tools/run_zeroshot_quality.sh
+echo $$ > /tmp/r5_queue.pid
+log "== pass2 supervisor pid $$ deadline $(date -u -d @"$DEADLINE" +%H:%M:%S) =="
 
-# ---- 3. LSM ablation: 20k x 2 seeds, qcorp (warm graphs) -------------
-abl_one() { # abl_one <sampler> <seed> <tag>
-  local SAMP=$1 SEED=$2 TAG=$3
-  python cli/train_cm.py --model consistency_training --dataset LJSpeech \
-      --config_root "$QC/config" --total_step 20000 --bf16 \
-      --steps_per_call 8 --restore_step -1 --schedule_sampler "$SAMP" --seed "$SEED" \
-      --log_every 1000 --path_tag "$TAG" \
-  && python cli/synthesize.py --mode batch --source "$QC/pre/val.txt" \
-      --dataset LJSpeech --config_root "$QC/config" --T 1 \
-      --restore_step 20000 --vocoder griffinlim \
-      --params_role target_model --path_tag "$TAG" \
-  && python cli/all_metrics.py --single \
-      --syn_root "$QC/output/result/LJSpeech_cm_${TAG}/step_20000_T1" \
-      --raw_folder "$QC/raw/SYN" --data_type LJSpeech \
-      --metrics mcd mcd_dctmel ffe ssim f0_rmse
-}
-run abl_lsm_s42   abl_one loss-second-moment 42   abl_lsm_s42
-run abl_uni_s42   abl_one uniform            42   abl_uni_s42
-run abl_lsm_s1337 abl_one loss-second-moment 1337 abl_lsm_s1337
-run abl_uni_s1337 abl_one uniform            1337 abl_uni_s1337
-
-# ---- 4. EDM teacher + true CD (reduced scale, cold compiles) ---------
-run edm_teacher python cli/train_cm.py --model edm --dataset LJSpeech \
-    --config_root "$DET/config" --total_step 12000 --bf16 \
-    --steps_per_call 8 --restore_step -1 --weight_schedule karras --cwt_masked_std \
-    --path_tag edm
-
-edm_synth_metrics() {
-  python cli/synthesize.py --mode batch --source "$DET/pre/val.txt" \
-      --dataset LJSpeech --config_root "$DET/config" --T 1 \
-      --sampler heun --sample_steps 18 --restore_step 12000 \
-      --vocoder griffinlim --params_role target_model --path_tag edm \
-      || return 1
-  : > "$DET/metrics_edm.txt"
-  metrics_dir "$DET/output/result/LJSpeech_cm_edm/step_12000_T1_heun18" \
-      "$DET/raw/SYN" "$DET/metrics_edm.txt" "edm teacher heun18 (gl)"
-}
-run edm_synth edm_synth_metrics
-
-run cd_edm python cli/train_cm.py --model consistency_distillation \
-    --teacher_path "$DET/output/ckpt/LJSpeech_edm/CMDenoiserTTS/step_00012000" \
-    --teacher_role target_model --dataset LJSpeech \
-    --config_root "$DET/config" --total_step 6000 --bf16 \
-    --steps_per_call 8 --restore_step -1 --cwt_masked_std --path_tag cdedm
-
-cdedm_synth_metrics() {
-  : > "$DET/metrics_cdedm.txt"
-  for T in 1 2 4; do
-    python cli/synthesize.py --mode batch --source "$DET/pre/val.txt" \
-        --dataset LJSpeech --config_root "$DET/config" --T "$T" \
-        --restore_step 6000 --vocoder griffinlim \
-        --params_role target_model --path_tag cdedm || return 1
-    metrics_dir "$DET/output/result/LJSpeech_cm_cdedm/step_6000_T${T}" \
-        "$DET/raw/SYN" "$DET/metrics_cdedm.txt" "cd-from-edm T${T} (gl)"
-  done
-}
-run cdedm_synth cdedm_synth_metrics
-
-# ---- roofline measurements (chip) ------------------------------------
-run roofline python tools/roofline.py --out ROOFLINE_r05.json
-
-# ---- final collection -------------------------------------------------
-rm -f "$LOGS/.r5_collect_final2.done"
-run collect_final2 python tools/collect_quality_r05.py --out QUALITY_r05.json
-
-echo "== round-5 pass 2 complete =="
+zs_cpu_lane &
+voc_lane &
+main_lane &
+wait
+log "== pass2 lanes complete =="
