@@ -44,10 +44,13 @@ for SPK in $(ls "$CORPUS/raw_holdout"); do
       --ref_wav "$CORPUS/raw_holdout/$SPK/${SPK}_000.wav" \
       --embedder_ckpt "$EMB" --tag "zs_$SPK" 2>&1 | tail -3
   SYN="$CORPUS/output/result/VCTK_cm/step_${STEP}_T1_zs_${SPK}"
-  echo "== identity-transfer eval: $SPK (syn dir: $SYN) =="
+  # eval is pure CPU — background it so the next speaker's chip
+  # synthesis starts immediately instead of idling the chip ~4 min
+  echo "== identity-transfer eval (backgrounded): $SPK (syn dir: $SYN) =="
   env -u PALLAS_AXON_POOL_IPS JAX_PLATFORMS=cpu python tools/zeroshot_eval.py \
       --syn_dir "$SYN" --target_raw "$CORPUS/raw_holdout/$SPK" \
       --others_root "$CORPUS/raw" --embedder_ckpt "$EMB" \
-      --out "$OUT/zs_eval_$SPK.json"
+      --out "$OUT/zs_eval_$SPK.json" > "$OUT/eval_$SPK.log" 2>&1 &
 done
+wait
 echo "== done: $(ls "$OUT"/zs_eval_*.json 2>/dev/null | tr '\n' ' ')=="
